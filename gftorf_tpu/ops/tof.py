@@ -90,7 +90,9 @@ def depth_from_tof(tof, depth_range, phase_offset=0.0):
         the 2*pi wrap of negative phases.
     """
     tof = jnp.asarray(tof)
-    phase = jnp.arctan2(tof[..., 1], tof[..., 0]) - phase_offset
+    # Guard tiny real parts like depth_from_tof_torch (torf_utils.py:59-64).
+    real = jnp.where(jnp.abs(tof[..., 0]) < 1e-6, 1e-6, tof[..., 0])
+    phase = jnp.arctan2(tof[..., 1], real) - phase_offset
     phase = jnp.where(phase < 0.0, phase + 2.0 * jnp.pi, phase)
     return (phase / (4.0 * jnp.pi)) * depth_range
 

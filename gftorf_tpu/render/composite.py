@@ -6,7 +6,7 @@ gradients (backward.cu:609-889). On TPU we reformulate the whole scan as
 data-parallel prefix ops along the depth axis:
 
     T_i   (transmittance before instance i) = exclusive-cumprod(1 - a_j)
-    done  (early-termination at T*(1-a) < 1e-4) = inclusive-cummax of the
+    done  (early-termination at T*(1-a) < 1e-4) = inclusive OR-scan of the
           failure predicate evaluated on the prefix transmittance
     color = (a*T) @ features          -- batched matmul (MXU)
     phasor= (a*T^2) @ phasor_features -- two-way light attenuation
@@ -21,8 +21,9 @@ the reference backward — including the alpha-T^2 recursion for phasors
 depth-distortion symmetric form (:824-833), with deterministic
 segment-sum reductions instead of atomicAdd.
 
-Tiles are processed in chunks via lax.map with jax.checkpoint so backward
-memory stays at one chunk of (pixels x L) intermediates.
+Tiles are processed element-wise under lax.map(batch_size=...) with
+jax.checkpoint so backward memory stays at one batch of (pixels x L)
+intermediates.
 """
 
 from __future__ import annotations
@@ -62,34 +63,34 @@ class TileOutputs(NamedTuple):
     contrib_pixels: jnp.ndarray  # (T, L) pixels touched per instance
 
 
-def _composite_chunk(feats: TileFeatures, tile_origin, bg_tiles, config: RasterConfig):
-    """Composite one chunk of tiles.
+def _composite_tile(feats: TileFeatures, tile_origin, bg_tile, config: RasterConfig):
+    """Composite one tile.
 
     Args:
-        feats: TileFeatures with leading dim C (chunk tiles).
-        tile_origin: (C, 2) float pixel coords of tile corners (x0, y0).
-        bg_tiles: (C, 7, th, tw) background map slices.
+        feats: TileFeatures leaves WITHOUT the tile dim: (L, ...) arrays.
+        tile_origin: (2,) float pixel coords of the tile corner (x0, y0).
+        bg_tile: (7, th, tw) background slice.
+
+    Returns TileOutputs leaves without the tile dim.
     """
     th, tw = config.tile_h, config.tile_w
     pix = th * tw
     # Pixel coordinates within the tile, row-major like the image layout.
     dy = jax.lax.broadcasted_iota(jnp.float32, (th, tw), 0).reshape(pix)
     dx = jax.lax.broadcasted_iota(jnp.float32, (th, tw), 1).reshape(pix)
-    px = tile_origin[:, None, 0] + dx[None, :]  # (C, PIX)
-    py = tile_origin[:, None, 1] + dy[None, :]
+    px = tile_origin[0] + dx  # (PIX,)
+    py = tile_origin[1] + dy
     inside = (px < config.width) & (py < config.height)
 
-    # (C, PIX, L) Gaussian falloff power at each pixel.
-    ddx = feats.mean2d[:, None, :, 0] - px[:, :, None]
-    ddy = feats.mean2d[:, None, :, 1] - py[:, :, None]
-    ca = feats.conic[:, None, :, 0]
-    cb = feats.conic[:, None, :, 1]
-    cc = feats.conic[:, None, :, 2]
+    # (PIX, L) Gaussian falloff power at each pixel.
+    ddx = feats.mean2d[None, :, 0] - px[:, None]
+    ddy = feats.mean2d[None, :, 1] - py[:, None]
+    ca, cb, cc = feats.conic[None, :, 0], feats.conic[None, :, 1], feats.conic[None, :, 2]
     power = -0.5 * (ca * ddx * ddx + cc * ddy * ddy) - cb * ddx * ddy
 
-    alpha = jnp.minimum(ALPHA_MAX, feats.opacity[:, None, :] * jnp.exp(power))
-    present = feats.gauss_id[:, None, :] >= 0
-    valid = (power <= 0.0) & (alpha >= ALPHA_EPS) & present & inside[:, :, None]
+    alpha = jnp.minimum(ALPHA_MAX, feats.opacity[None, :] * jnp.exp(power))
+    present = feats.gauss_id[None, :] >= 0
+    valid = (power <= 0.0) & (alpha >= ALPHA_EPS) & present & inside[:, None]
 
     a_eff = jnp.where(valid, alpha, 0.0)
     q = 1.0 - a_eff
@@ -106,19 +107,19 @@ def _composite_chunk(feats: TileFeatures, tile_origin, bg_tiles, config: RasterC
     w = jnp.where(contribute, alpha * t_excl, 0.0)
     w_p = w * t_excl  # alpha * T^2 (forward.cu:546)
 
-    # Weighted feature sums ride the MXU as batched matmuls.
+    # Weighted feature sums ride the MXU as matmuls.
     f_w = jnp.concatenate(
-        [feats.rgb, feats.dist[..., None], jnp.ones_like(feats.dist[..., None])],
+        [feats.rgb, feats.dist[:, None], jnp.ones_like(feats.dist[:, None])],
         axis=-1,
-    )  # (C, L, 5): rgb, dist, acc
-    sums_w = jnp.einsum("cpl,clf->cpf", w, f_w, precision="highest")
-    color = sums_w[..., :3]
-    depth = sums_w[..., 3]
-    acc = sums_w[..., 4]
-    phasor = jnp.einsum("cpl,clf->cpf", w_p, feats.phasor, precision="highest")
+    )  # (L, 5): rgb, dist, acc
+    sums_w = jnp.matmul(w, f_w, precision="highest")  # (PIX, 5)
+    color = sums_w[:, :3]
+    depth = sums_w[:, 3]
+    acc = sums_w[:, 4]
+    phasor = jnp.matmul(w_p, feats.phasor, precision="highest")  # (PIX, 7)
 
     # Depth distortion on NDC-mapped distances (forward.cu:572-578).
-    z = feats.dist_ndc[:, None, :]
+    z = feats.dist_ndc[None, :]
     wz = w * z
     wz2 = wz * z
     a_ex = jnp.cumsum(w, axis=-1) - w
@@ -126,32 +127,35 @@ def _composite_chunk(feats: TileFeatures, tile_origin, bg_tiles, config: RasterC
     wz2_ex = jnp.cumsum(wz2, axis=-1) - wz2
     dd = jnp.sum(w * (z * z * a_ex) - 2.0 * wz * wz_ex + w * wz2_ex, axis=-1)
 
-    final_t = jnp.prod(jnp.where(contribute, q, 1.0), axis=-1)  # (C, PIX)
+    final_t = jnp.prod(jnp.where(contribute, q, 1.0), axis=-1)  # (PIX,)
 
     # Background: color uses bg[:3], phasor all 7 channels (forward.cu:642-650).
-    bg = bg_tiles.reshape(bg_tiles.shape[0], 7, pix)  # (C, 7, PIX)
-    color = color + final_t[:, :, None] * jnp.moveaxis(bg[:, :3], 1, 2)
-    phasor = phasor + final_t[:, :, None] * jnp.moveaxis(bg, 1, 2)
+    bg = bg_tile.reshape(7, pix)  # (7, PIX)
+    color = color + final_t[:, None] * bg[:3].T
+    phasor = phasor + final_t[:, None] * bg.T
 
     # First-sample distribution (forward.cu:561-567): stats only.
     contribute_sg = jax.lax.stop_gradient(contribute)
-    first = jnp.argmax(contribute_sg, axis=-1)  # (C, PIX)
+    first = jnp.argmax(contribute_sg, axis=-1)  # (PIX,)
     has = jnp.any(contribute_sg, axis=-1)
-    take = lambda arr: jnp.where(
-        has, jnp.take_along_axis(arr, first[..., None], axis=-1)[..., 0], 0.0
-    )
+
+    def take(arr):  # arr (PIX, L)
+        return jnp.where(
+            has, jnp.take_along_axis(arr, first[:, None], axis=-1)[:, 0], 0.0
+        )
+
     distribution = jax.lax.stop_gradient(
         jnp.stack(
             [
                 take(jnp.where(contribute_sg, alpha, 0.0)),
-                take(jnp.broadcast_to(feats.dist[:, None, :], contribute.shape)),
-                take(jnp.broadcast_to(feats.phasor[:, None, :, 2], contribute.shape)),
+                take(jnp.broadcast_to(feats.dist[None, :], contribute.shape)),
+                take(jnp.broadcast_to(feats.phasor[None, :, 2], contribute.shape)),
             ],
             axis=-1,
         )
     )
 
-    contrib_pixels = jnp.sum(contribute_sg.astype(jnp.float32), axis=1)  # (C, L)
+    contrib_pixels = jnp.sum(contribute_sg.astype(jnp.float32), axis=0)  # (L,)
 
     return TileOutputs(
         color=color,
@@ -169,7 +173,7 @@ def composite_tiles(
     bg_map: jnp.ndarray,
     config: RasterConfig,
 ) -> TileOutputs:
-    """Composite all tiles, chunked to bound memory.
+    """Composite all tiles, batched to bound memory.
 
     Args:
         feats: TileFeatures with leading dim T = config.num_tiles.
@@ -192,15 +196,14 @@ def composite_tiles(
         .reshape(T, 7, th, tw)
     )
 
-    chunk = min(config.tile_chunk, T)
     fn = jax.checkpoint(
-        lambda args: _composite_chunk(args[0], args[1], args[2], config)
+        lambda args: _composite_tile(args[0], args[1], args[2], config)
     )
-    if T % chunk == 0:
-        out = jax.lax.map(fn, (feats, tile_origin, bg_tiles), batch_size=chunk)
-    else:
-        out = jax.lax.map(fn, (feats, tile_origin, bg_tiles), batch_size=1)
-    return out
+    return jax.lax.map(
+        fn,
+        (feats, tile_origin, bg_tiles),
+        batch_size=min(config.tile_chunk, T),
+    )
 
 
 def tiles_to_image(tile_img: jnp.ndarray, config: RasterConfig) -> jnp.ndarray:

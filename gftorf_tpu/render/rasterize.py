@@ -1,0 +1,99 @@
+"""Top-level differentiable rasterizer: preprocess -> bin -> composite.
+
+Public equivalent of the reference's `GaussianRasterizer.forward`
+(diff_gaussian_rasterization_w_tof/__init__.py:226-269 and the CUDA
+`Rasterizer::forward`, rasterizer_impl.cu:215-377), returning the same
+logical outputs (RenderOutputs). The whole function is differentiable
+end-to-end by jax.grad; the binning stage is integer bookkeeping under
+stop_gradient exactly like the reference's sort.
+
+Gradients w.r.t. `means2d_ndc` (a zeros input) reproduce the reference's
+dL_dmean2D densification signal in NDC convention (backward.cu:876-877
+with the 0.5*W/H factors folded in).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+
+from gftorf_tpu.render.binning import bin_gaussians
+from gftorf_tpu.render.composite import (
+    TileFeatures,
+    composite_tiles,
+    tiles_to_image,
+)
+from gftorf_tpu.render.preprocess import preprocess
+from gftorf_tpu.render.settings import CameraSpec, RasterConfig, RenderOutputs
+
+
+def rasterize(
+    means3d: jnp.ndarray,
+    scales: jnp.ndarray,
+    rotations: jnp.ndarray,
+    opacities: jnp.ndarray,
+    shs: Optional[jnp.ndarray],
+    shs_p: Optional[jnp.ndarray],
+    phase_offset,
+    dc_offset,
+    means2d_ndc: jnp.ndarray,
+    bg_map: jnp.ndarray,
+    camera: CameraSpec,
+    config: RasterConfig,
+    active_sh_degree: int = 3,
+    colors_precomp: Optional[jnp.ndarray] = None,
+    phasors_precomp: Optional[jnp.ndarray] = None,
+    cov3d_precomp: Optional[jnp.ndarray] = None,
+) -> RenderOutputs:
+    P = means3d.shape[0]
+    pre = preprocess(
+        means3d, scales, rotations, opacities, shs, shs_p,
+        phase_offset, dc_offset, means2d_ndc, camera, config,
+        active_sh_degree, colors_precomp, phasors_precomp, cov3d_precomp,
+    )
+
+    capacity = config.capacity_for(P)
+    binning = bin_gaussians(
+        jax.lax.stop_gradient(pre.rect),
+        jax.lax.stop_gradient(pre.depth_view),
+        pre.valid,
+        config,
+        capacity,
+    )
+
+    ids = binning.gauss_id
+    idc = jnp.maximum(ids, 0)
+    feats = TileFeatures(
+        gauss_id=ids,
+        mean2d=jnp.take(pre.mean2d, idc, axis=0),
+        conic=jnp.take(pre.conic, idc, axis=0),
+        opacity=jnp.take(pre.opacity, idc, axis=0),
+        rgb=jnp.take(pre.rgb, idc, axis=0),
+        phasor=jnp.take(pre.phasor, idc, axis=0),
+        dist=jnp.take(pre.dist, idc, axis=0),
+        dist_ndc=jnp.take(pre.dist_ndc, idc, axis=0),
+    )
+
+    out = composite_tiles(feats, bg_map, config)
+
+    # Per-Gaussian touched-pixel counts: deterministic segment-sum over the
+    # instance list (replaces atomicAdd at forward.cu:629).
+    pixels = jax.ops.segment_sum(
+        out.contrib_pixels.reshape(-1), idc.reshape(-1), num_segments=P
+    )
+
+    return RenderOutputs(
+        color=tiles_to_image(out.color, config),
+        phasor=tiles_to_image(out.phasor, config),
+        depth=tiles_to_image(out.depth, config),
+        acc=tiles_to_image(out.acc, config),
+        depth_distortion=tiles_to_image(out.dd, config),
+        distribution=tiles_to_image(out.distribution, config),
+        pixels=pixels[:, None],
+        radii=jax.lax.stop_gradient(pre.radius).astype(jnp.int32),
+        num_rendered=binning.num_rendered,
+        dup_overflow=binning.dup_overflow,
+        tile_overflow=binning.tile_overflow,
+    )

@@ -1,0 +1,85 @@
+"""Training losses (utils/loss_utils.py, utils/image_utils.py).
+
+SSIM uses the standard 11x11 Gaussian window (sigma 1.5) as a depthwise
+convolution with same-padding, matching the torch implementation
+(loss_utils.py:74-114).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def l1_loss(pred, gt):
+    return jnp.mean(jnp.abs(pred - gt))
+
+
+def l2_loss(pred, gt):
+    return jnp.mean((pred - gt) ** 2)
+
+
+def weighted_l1_loss(pred, gt, w, num_phasor_channels):
+    """Amplitude-normalized phasor L1 (loss_utils.py:23-25): the weight is
+    the norm over all channels of the prediction (detached)."""
+    weight = w + jax.lax.stop_gradient(jnp.sqrt(jnp.sum(pred**2, axis=0)))
+    return jnp.mean(
+        jnp.abs((pred[:num_phasor_channels] - gt[:num_phasor_channels]) / weight)
+    )
+
+
+def weighted_l1_loss_quad(pred, gt, w):
+    weight = w + jnp.abs(jax.lax.stop_gradient(pred))
+    return jnp.mean(jnp.abs((pred - gt) / weight))
+
+
+def weighted_l2_loss_quad(pred, gt, w):
+    weight = w + jnp.abs(jax.lax.stop_gradient(pred))
+    return jnp.mean(jnp.square((pred - gt) / weight))
+
+
+def psnr(pred, gt):
+    """Per-image PSNR (image_utils.py:17-19): mean over pixels per channel
+    row in the torch version reduces over everything here for scalars."""
+    mse = jnp.mean((pred - gt) ** 2)
+    return 20.0 * jnp.log10(1.0 / jnp.sqrt(mse))
+
+
+@functools.cache
+def _gaussian_window(window_size: int = 11, sigma: float = 1.5) -> np.ndarray:
+    g = np.exp(
+        -((np.arange(window_size) - window_size // 2) ** 2) / (2.0 * sigma**2)
+    )
+    g = (g / g.sum()).astype(np.float32)
+    return np.outer(g, g)
+
+
+def ssim(img1, img2, window_size: int = 11):
+    """Mean SSIM over a (C, H, W) image pair."""
+    w = jnp.asarray(_gaussian_window(window_size))
+    c = img1.shape[0]
+    kernel = jnp.broadcast_to(w[None, None], (c, 1, window_size, window_size))
+
+    def conv(x):
+        return jax.lax.conv_general_dilated(
+            x[None],  # (1, C, H, W)
+            kernel,
+            window_strides=(1, 1),
+            padding=[(window_size // 2, window_size // 2)] * 2,
+            feature_group_count=c,
+            precision=jax.lax.Precision.HIGHEST,
+        )[0]
+
+    mu1, mu2 = conv(img1), conv(img2)
+    mu1_sq, mu2_sq, mu1_mu2 = mu1 * mu1, mu2 * mu2, mu1 * mu2
+    s1 = conv(img1 * img1) - mu1_sq
+    s2 = conv(img2 * img2) - mu2_sq
+    s12 = conv(img1 * img2) - mu1_mu2
+    c1, c2 = 0.01**2, 0.03**2
+    ssim_map = ((2 * mu1_mu2 + c1) * (2 * s12 + c2)) / (
+        (mu1_sq + mu2_sq + c1) * (s1 + s2 + c2)
+    )
+    return jnp.mean(ssim_map)
