@@ -222,17 +222,12 @@ def adam_update(
     bc1 = 1.0 - b1 ** step.astype(jnp.float32)
     bc2 = 1.0 - b2 ** step.astype(jnp.float32)
 
-    def upd(p, g, m, v, lr):
-        m = b1 * m + (1 - b1) * g
-        v = b2 * v + (1 - b2) * g * g
-        denom = jnp.sqrt(v) / jnp.sqrt(bc2) + eps
-        return p - lr / bc1 * m / denom, m, v
-
-    out = jax.tree.map(upd, params, grads, adam.mu, adam.nu, lrs)
-    leaves, treedef = jax.tree.flatten(out, is_leaf=lambda x: isinstance(x, tuple))
-    new_p = treedef.unflatten([l[0] for l in leaves])
-    new_m = treedef.unflatten([l[1] for l in leaves])
-    new_v = treedef.unflatten([l[2] for l in leaves])
+    new_m = jax.tree.map(lambda m, g: b1 * m + (1 - b1) * g, adam.mu, grads)
+    new_v = jax.tree.map(lambda v, g: b2 * v + (1 - b2) * g * g, adam.nu, grads)
+    new_p = jax.tree.map(
+        lambda p, m, v, lr: p - lr / bc1 * m / (jnp.sqrt(v) / jnp.sqrt(bc2) + eps),
+        params, new_m, new_v, lrs,
+    )
     return new_p, AdamState(mu=new_m, nu=new_v, step=step)
 
 

@@ -1,0 +1,175 @@
+"""Tests for GaussianModel state: Adam semantics, densify/prune."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from gftorf_tpu.models.gaussians import (
+    AdamState,
+    DensifyHyper,
+    GaussianAux,
+    GaussianModelState,
+    GaussianParams,
+    adam_update,
+    densify_and_prune,
+    get_opacity,
+    get_scaling,
+    init_from_pcd,
+    inverse_sigmoid,
+    prune_only,
+    reset_opacity,
+)
+
+
+def make_state(n=16, capacity=64, seed=0, sh_degree=1):
+    rng = np.random.RandomState(seed)
+    pts = rng.randn(n, 3).astype(np.float32)
+    cols = rng.rand(n, 3).astype(np.float32)
+    return init_from_pcd(
+        pts, cols, rng.rand(n).astype(np.float32),
+        rng.rand(n).astype(np.float32), None, capacity, sh_degree=sh_degree,
+    )
+
+
+class TestInit:
+    def test_shapes_and_alive(self):
+        st = make_state()
+        assert st.params.xyz.shape == (64, 3)
+        assert int(st.aux.alive.sum()) == 16
+        assert st.params.sh_color.shape == (64, 4, 3)
+
+    def test_scales_from_knn(self):
+        # Regular grid: knn dist = 1 -> log(sqrt(1)) = 0
+        xs = np.arange(4, dtype=np.float32)
+        pts = np.stack(np.meshgrid(xs, xs, xs, indexing="ij"), -1).reshape(-1, 3)
+        st = init_from_pcd(pts, np.ones((64, 3)) * 0.5, None, None, None, 128)
+        np.testing.assert_allclose(
+            st.params.scaling[:64], 0.0, atol=1e-5
+        )
+
+
+class TestAdam:
+    def test_matches_torch_formula(self):
+        import torch
+
+        st = make_state(n=4, capacity=4)
+        p0 = np.array(st.params.xyz)
+        g = np.ones_like(p0) * 0.3
+
+        tp = torch.nn.Parameter(torch.tensor(p0))
+        topt = torch.optim.Adam([tp], lr=0.01, eps=1e-15)
+        lrs = jax.tree.map(lambda _: 0.0, st.params)._replace(xyz=0.01)
+        params, adam = st.params, st.adam
+        for i in range(5):
+            grads = jax.tree.map(jnp.zeros_like, params)._replace(
+                xyz=jnp.asarray(g * (i + 1))
+            )
+            params, adam = adam_update(params, grads, adam, lrs)
+            tp.grad = torch.tensor(g * (i + 1))
+            topt.step()
+        np.testing.assert_allclose(params.xyz, tp.detach().numpy(), rtol=1e-5)
+
+
+class TestDensify:
+    def test_clone_small_high_grad(self):
+        st = make_state(n=8, capacity=32)
+        # small scales, high grad on points 0..3
+        st = st._replace(
+            params=st.params._replace(scaling=jnp.full_like(st.params.scaling, -5.0)),
+            aux=st.aux._replace(
+                xyz_grad_accum=st.aux.xyz_grad_accum.at[:4].set(10.0),
+                denom=st.aux.denom.at[:8].set(1.0),
+            ),
+        )
+        new, dropped = densify_and_prune(
+            st, jax.random.PRNGKey(0), DensifyHyper(), scene_extent=10.0,
+            max_screen_size=0.0,
+        )
+        assert int(dropped) == 0
+        assert int(new.aux.alive.sum()) == 12  # 8 + 4 clones
+
+    def test_split_large_high_grad(self):
+        st = make_state(n=8, capacity=64)
+        st = st._replace(
+            params=st.params._replace(scaling=jnp.full_like(st.params.scaling, 1.0)),
+            aux=st.aux._replace(
+                xyz_grad_accum=st.aux.xyz_grad_accum.at[:2].set(10.0),
+                denom=st.aux.denom.at[:8].set(1.0),
+            ),
+        )
+        new, dropped = densify_and_prune(
+            st, jax.random.PRNGKey(0), DensifyHyper(), scene_extent=10.0,
+            max_screen_size=0.0,
+        )
+        assert int(dropped) == 0
+        # 8 alive - 2 split originals + 2*2 new = 10
+        assert int(new.aux.alive.sum()) == 10
+        # new split scales shrunk by 1/(0.8*2)
+        alive_scales = np.array(get_scaling(new.params))[np.array(new.aux.alive)]
+        assert np.min(alive_scales) < np.exp(1.0)
+
+    def test_prune_low_opacity(self):
+        st = make_state(n=8, capacity=16)
+        op = st.params.opacity.at[:3].set(inverse_sigmoid(jnp.float32(0.001)))
+        st = st._replace(params=st.params._replace(opacity=op))
+        new, dropped = densify_and_prune(
+            st, jax.random.PRNGKey(0), DensifyHyper(), scene_extent=10.0,
+            max_screen_size=0.0,
+        )
+        assert int(new.aux.alive.sum()) == 5
+
+    def test_capacity_overflow_reported(self):
+        st = make_state(n=8, capacity=9)
+        st = st._replace(
+            params=st.params._replace(scaling=jnp.full_like(st.params.scaling, -5.0)),
+            aux=st.aux._replace(
+                xyz_grad_accum=st.aux.xyz_grad_accum.at[:8].set(10.0),
+                denom=st.aux.denom.at[:8].set(1.0),
+            ),
+        )
+        new, dropped = densify_and_prune(
+            st, jax.random.PRNGKey(0), DensifyHyper(), scene_extent=10.0,
+            max_screen_size=0.0,
+        )
+        assert int(dropped) == 7  # 8 clones wanted, 1 free slot
+
+    def test_moments_zeroed_for_new(self):
+        st = make_state(n=8, capacity=32)
+        mu = jax.tree.map(lambda x: jnp.ones_like(x), st.params)
+        st = st._replace(
+            adam=AdamState(mu=mu, nu=mu, step=jnp.int32(5)),
+            params=st.params._replace(scaling=jnp.full_like(st.params.scaling, -5.0)),
+            aux=st.aux._replace(
+                xyz_grad_accum=st.aux.xyz_grad_accum.at[:4].set(10.0),
+                denom=st.aux.denom.at[:8].set(1.0),
+            ),
+        )
+        new, _ = densify_and_prune(
+            st, jax.random.PRNGKey(0), DensifyHyper(), 10.0, 0.0
+        )
+        new_slots = np.array(new.aux.alive) & ~np.array(st.aux.alive)
+        assert new_slots.sum() == 4
+        assert np.all(np.array(new.adam.mu.xyz)[new_slots] == 0.0)
+        assert int(new.adam.step) == 5
+
+
+class TestOpacityOps:
+    def test_reset_opacity(self):
+        st = make_state()
+        p = reset_opacity(st.params)
+        assert float(get_opacity(p).max()) <= 0.011
+
+    def test_reset_opacity_masked(self):
+        st = make_state(n=8, capacity=8)
+        mask = jnp.arange(8) < 4
+        p = reset_opacity(st.params, apply_mask=mask)
+        op = np.array(get_opacity(p))[:, 0]
+        assert np.all(op[:4] <= 0.011)
+        np.testing.assert_allclose(op[4:], 0.1, rtol=1e-5)
+
+    def test_prune_only(self):
+        st = make_state(n=8, capacity=8)
+        op = st.params.opacity.at[:2].set(inverse_sigmoid(jnp.float32(0.001)))
+        st = st._replace(params=st.params._replace(opacity=op))
+        new = prune_only(st, 0.01)
+        assert int(new.aux.alive.sum()) == 6
