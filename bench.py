@@ -1,0 +1,72 @@
+#!/usr/bin/env python
+"""Benchmark: rasterizer fwd+bwd throughput at 640x480 (Mpix/s/chip).
+
+Prints ONE JSON line:
+    {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+
+Baseline: the reference sustains ~0.9 Mpix/s fwd+bwd on an RTX 3090
+(20k iters x 2 renders x 76.8 kpix in <=3600 s; BASELINE.md).
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+
+BASELINE_MPIX_S = 0.9
+
+
+def main():
+    from gftorf_tpu.data.synthetic import make_scene
+    from gftorf_tpu.render.rasterize import rasterize
+
+    width, height = 640, 480
+    num_points = 100_000
+    sc = make_scene(
+        jax.random.PRNGKey(0), num_points=num_points, width=width,
+        height=height, max_per_tile=1024,
+    )
+    n = sc.means3d.shape[0]
+    bg = jnp.zeros((7, height, width))
+    zeros2d = jnp.zeros((n, 2))
+
+    def loss_fn(means3d, scales, rotations, opacities, shs, shs_p):
+        out = rasterize(
+            means3d, scales, rotations, opacities, shs, shs_p,
+            0.0, 0.0, zeros2d, bg, camera=sc.camera, config=sc.config,
+        )
+        return (
+            jnp.sum(out.color**2)
+            + jnp.sum(out.phasor**2)
+            + jnp.sum(out.depth**2)
+        )
+
+    step = jax.jit(jax.grad(loss_fn, argnums=(0, 1, 2, 3, 4, 5)))
+    args = (sc.means3d, sc.scales, sc.rotations, sc.opacities, sc.shs,
+            sc.shs_p)
+
+    # compile + warmup
+    g = step(*args)
+    jax.block_until_ready(g)
+
+    iters = 20
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        g = step(*args)
+    jax.block_until_ready(g)
+    dt = (time.perf_counter() - t0) / iters
+
+    mpix_s = (width * height) / dt / 1e6
+    print(json.dumps({
+        "metric": "rasterize_fwd_bwd_640x480_100k",
+        "value": round(mpix_s, 3),
+        "unit": "Mpix/s/chip",
+        "vs_baseline": round(mpix_s / BASELINE_MPIX_S, 2),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,195 @@
+"""Synthetic F-ToRF/ToRF dataset writer in the reference's on-disk layout.
+
+Renders a procedurally-built Gaussian scene (optionally with a moving
+cluster) through the rasterizer and writes the directory structure the
+readers expect (dataset_readers.py:716-1003):
+
+    color/0000.npy          (H, W, 3)
+    tofType{0..3}/NNNN.npy  (H, W)      raw quads (one per frame slot)
+    synthetic_tof/NNNN.npy  (H, W, 3)   real/imag/amp
+    synthetic_depth/NNNN.npy(H, W)      distance to light
+    forward_flow_2/flow_NNNN.npy (2, H, W)
+    backward_flow_2/flow_NNNN.npy
+    cams/{tof,color}_intrinsics.npy, {tof,color}_extrinsics.npy,
+    cams/depth_range.npy, phase_offset.npy, dc_offset.npy
+
+Used by tests and benchmarks; doubles as a ground-truth-known benchmark
+scene (exact depth supervision available).
+"""
+
+from __future__ import annotations
+
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from gftorf_tpu.ops.transforms import focal2fov, projection_matrix_shift, world_to_view
+from gftorf_tpu.render.rasterize import rasterize
+from gftorf_tpu.render.settings import CameraSpec, RasterConfig
+
+
+def make_gt_gaussians(key, num_static=384, num_dynamic=128, depth_range=15.0):
+    ks = jax.random.split(key, 10)
+    n = num_static + num_dynamic
+
+    z = jax.random.uniform(ks[0], (n,), minval=2.0, maxval=6.5)
+    x = jax.random.uniform(ks[1], (n,), minval=-0.5, maxval=0.5) * z
+    y = jax.random.uniform(ks[2], (n,), minval=-0.4, maxval=0.4) * z
+    xyz = jnp.stack([x, y, z], -1)
+    scales = jax.random.uniform(ks[3], (n, 3), minval=0.05, maxval=0.25)
+    quat = jax.random.normal(ks[4], (n, 4))
+    quat = quat / jnp.linalg.norm(quat, axis=-1, keepdims=True)
+    opac = jax.random.uniform(ks[5], (n,), minval=0.6, maxval=0.98)
+    m = 16
+    shs = 0.2 * jax.random.normal(ks[6], (n, m, 3))
+    shs = shs.at[:, 0, :].add(1.0)
+    shs_p = jnp.zeros((n, m, 2))
+    shs_p = shs_p.at[:, 0, 1].set(
+        jax.random.uniform(ks[7], (n,), minval=1.0, maxval=2.5)
+    )
+    # Motion: the dynamic cluster oscillates along +x.
+    dyn_mask = jnp.arange(n) >= num_static
+    velocity = jnp.where(
+        dyn_mask[:, None],
+        jnp.array([[1.2, 0.25, 0.6]]) * jnp.ones((n, 3)),
+        jnp.zeros((n, 3)),
+    )
+    return dict(xyz=xyz, scales=scales, quat=quat, opac=opac, shs=shs,
+                shs_p=shs_p, dyn_mask=dyn_mask, velocity=velocity)
+
+
+def gaussians_at_time(g, t: float):
+    """Sinusoidal displacement of the dynamic cluster at normalized t."""
+    disp = g["velocity"] * jnp.sin(2.0 * jnp.pi * t)
+    return g["xyz"] + disp
+
+
+def write_dataset(
+    out_dir: str,
+    num_frames: int = 16,
+    width: int = 64,
+    height: int = 48,
+    depth_range: float = 15.0,
+    phase_offset: float = 0.0,
+    dc_offset: float = 0.1,
+    seed: int = 0,
+    torf_layout: bool = False,
+):
+    """Render and write a synthetic scene. num_frames should be a
+    multiple of 4 for the quad cadence."""
+    key = jax.random.PRNGKey(seed)
+    g = make_gt_gaussians(key, depth_range=depth_range)
+    n = g["xyz"].shape[0]
+
+    fx = fy = 0.9 * width
+    cx, cy = width / 2.0, height / 2.0
+    fov_x, fov_y = focal2fov(fx, width), focal2fov(fy, height)
+    znear, zfar = 0.05 * depth_range * 0.9, 0.55 * depth_range * 1.1
+
+    view_t = world_to_view(np.eye(3), np.zeros(3))
+    proj_t = projection_matrix_shift(znear, zfar, fx, fy, cx, cy, width,
+                                     height, fov_x, fov_y)
+    camera = CameraSpec.create(view_t, proj_t, width, height, fov_x, fov_y,
+                               znear, zfar, depth_range)
+    config = RasterConfig(height=height, width=width, max_per_tile=2048)
+
+    for sub in ["color", "tofType0", "tofType1", "tofType2", "tofType3",
+                "synthetic_tof", "synthetic_depth", "forward_flow_2",
+                "backward_flow_2", "cams"] if not torf_layout else [
+                "color", "tof", "distance", "cams"]:
+        os.makedirs(os.path.join(out_dir, sub), exist_ok=True)
+
+    bg = jnp.zeros((7, height, width))
+    zeros2d = jnp.zeros((n, 2))
+
+    @jax.jit
+    def render_at(xyz):
+        return rasterize(
+            xyz, g["scales"], g["quat"], g["opac"], g["shs"], g["shs_p"],
+            phase_offset, dc_offset, zeros2d, bg, camera=camera, config=config,
+        )
+
+    denom = max(num_frames - 1, 1)
+    depths = {}
+    for fid in range(num_frames):
+        t = fid / denom
+        xyz_t = gaussians_at_time(g, t)
+        out = render_at(xyz_t)
+        color = np.moveaxis(np.asarray(out.color), 0, -1).clip(0, None)
+        phasor = np.moveaxis(np.asarray(out.phasor), 0, -1)
+        depth = np.asarray(out.depth[0])
+        depths[fid] = depth
+
+        np.save(os.path.join(out_dir, "color", f"{fid:04d}.npy"),
+                color.astype(np.float32))
+        if torf_layout:
+            np.save(os.path.join(out_dir, "tof", f"{fid:04d}.npy"),
+                    phasor[..., :3].astype(np.float32))
+            np.save(os.path.join(out_dir, "distance", f"{fid:04d}.npy"),
+                    depth.astype(np.float32))
+        else:
+            np.save(os.path.join(out_dir, "synthetic_tof", f"{fid:04d}.npy"),
+                    phasor[..., :3].astype(np.float32))
+            np.save(os.path.join(out_dir, "synthetic_depth", f"{fid:04d}.npy"),
+                    depth.astype(np.float32))
+            # The quad captured at this frame slot (desynchronized cadence):
+            # slot k of the current group uses quad channel k.
+            k = fid % 4
+            np.save(os.path.join(out_dir, f"tofType{k}", f"{fid:04d}.npy"),
+                    phasor[..., 3 + k].astype(np.float32))
+
+    if not torf_layout:
+        # 2D flow between integration frames (fid -> fid+4), forward and
+        # backward, computed from GT geometry via depth backprojection.
+        from gftorf_tpu.ops.flow import (
+            distance_to_points3d,
+            intrinsics_matrix,
+            project_flow,
+            project_points,
+        )
+
+        k_mat = intrinsics_matrix(fx, fy, cx, cy)
+        view_j = jnp.asarray(view_t)
+        for fid in range(0, num_frames, 4):
+            pts3d = distance_to_points3d(
+                jnp.asarray(depths[fid])[None], view_j, fx, fy, cx, cy
+            )
+            pts2d = project_points(pts3d, view_j, k_mat)
+            for name, other in (("forward_flow_2", fid + 4),
+                                ("backward_flow_2", fid - 4)):
+                if not (0 <= other < num_frames):
+                    continue
+                # Approximate scene flow: dynamic points move rigidly.
+                t0 = fid / denom
+                t1 = other / denom
+                disp = np.asarray(
+                    g["velocity"][-1]
+                    * (np.sin(2 * np.pi * t1) - np.sin(2 * np.pi * t0))
+                )
+                # Mask to pixels whose depth changes between the frames
+                moving = np.abs(depths[fid] - depths[other]) > 1e-3
+                flow3d = jnp.asarray(
+                    np.where(moving[None, :, :], disp[:, None, None], 0.0),
+                    jnp.float32,
+                )
+                flow2d = project_flow(pts2d, pts3d, flow3d, view_j, k_mat)
+                np.save(os.path.join(out_dir, name, f"flow_{fid:04d}.npy"),
+                        np.asarray(flow2d).astype(np.float32))
+
+    # cams
+    K = np.array([[fx, 0, cx], [0, fy, cy], [0, 0, 1]], np.float32)
+    exts = np.repeat(np.eye(4, dtype=np.float32)[None], num_frames, 0)
+    cams = os.path.join(out_dir, "cams")
+    np.save(os.path.join(cams, "tof_intrinsics.npy"), K)
+    np.save(os.path.join(cams, "color_intrinsics.npy"), K)
+    np.save(os.path.join(cams, "tof_extrinsics.npy"), exts)
+    np.save(os.path.join(cams, "color_extrinsics.npy"), exts)
+    np.save(os.path.join(cams, "depth_range.npy"),
+            np.array(depth_range, np.float32))
+    np.save(os.path.join(cams, "phase_offset.npy"),
+            np.array(phase_offset, np.float32))
+    np.save(os.path.join(cams, "dc_offset.npy"),
+            np.array(dc_offset, np.float32))
+    return g

@@ -1,0 +1,185 @@
+"""Scene orchestration: load a dataset, stack per-frame observations into
+device arrays, and initialize the Gaussian model.
+
+Replaces the reference Scene (scene/__init__.py:21-145) + ToFCamera
+(scene/cameras.py). Instead of per-frame torch modules holding GPU
+tensors, all frames are stacked into one FrameData pytree with a leading
+frame axis resident on device; the train step gathers a frame by index
+(static shapes, no host sync).
+
+GT handling matches loadCam (utils/camera_utils.py:21-78): everything is
+resized to the color image size and the color image is quantized through
+uint8.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from gftorf_tpu.config import Config
+from gftorf_tpu.data.readers import CameraRecord, SceneData, read_scene, scale_image
+from gftorf_tpu.models.gaussians import GaussianModelState, init_from_pcd
+from gftorf_tpu.ops.transforms import (
+    projection_matrix_shift,
+    world_to_view,
+)
+from gftorf_tpu.render.settings import CameraSpec, RasterConfig
+from gftorf_tpu.train.step import FrameData
+
+
+def _resize_to(img, width, height):
+    if img is None:
+        return None
+    if img.shape[1] == width and img.shape[0] == height:
+        return img
+    import cv2
+
+    return cv2.resize(img, (width, height), interpolation=cv2.INTER_AREA)
+
+
+def camera_spec(R, T, fx, fy, cx, cy, width, height, fov_x, fov_y,
+                znear, zfar, depth_range) -> CameraSpec:
+    view_t = world_to_view(R, T)
+    proj_t = projection_matrix_shift(znear, zfar, fx, fy, cx, cy,
+                                     width, height, fov_x, fov_y)
+    return CameraSpec.create(view_t, proj_t, width, height, fov_x, fov_y,
+                             znear, zfar, depth_range)
+
+
+def build_frame(cam: CameraRecord) -> FrameData:
+    """One frame's observations as (host) numpy FrameData."""
+    wc, hc = cam.width, cam.height
+    spec_color = camera_spec(cam.R, cam.T, cam.fx, cam.fy, cam.cx, cam.cy,
+                             wc, hc, cam.fov_x, cam.fov_y,
+                             cam.znear, cam.zfar, cam.depth_range)
+    spec_tof = camera_spec(cam.R_tof, cam.T_tof, cam.fx_tof, cam.fy_tof,
+                           cam.cx_tof, cam.cy_tof, cam.tof_width,
+                           cam.tof_height, cam.fov_x_tof, cam.fov_y_tof,
+                           cam.znear, cam.zfar, cam.depth_range)
+
+    def chw(img, channels):
+        if img is None:
+            return np.zeros((channels, hc, wc), np.float32)
+        img = _resize_to(img, wc, hc)
+        if img.ndim == 2:
+            img = img[..., None]
+        return np.moveaxis(img, -1, 0)[:channels].astype(np.float32)
+
+    if cam.image is not None:
+        # uint8 quantization roundtrip (dataset_readers.py:360 + PILtoTorch)
+        img_q = (cam.image * 255.0).astype(np.uint8).astype(np.float32) / 255.0
+        gt_image = chw(img_q, 3)
+    else:
+        gt_image = np.zeros((3, hc, wc), np.float32)
+
+    if cam.quads is not None:
+        quads = np.stack(
+            [_resize_to(cam.quads[i], wc, hc) for i in range(4)], 0
+        ).astype(np.float32)
+    else:
+        quads = np.zeros((4, hc, wc), np.float32)
+
+    k_tof = np.array(
+        [[cam.fx_tof, 0, cam.cx_tof], [0, cam.fy_tof, cam.cy_tof], [0, 0, 1]],
+        np.float32,
+    )
+    k_color = np.array(
+        [[cam.fx, 0, cam.cx], [0, cam.fy, cam.cy], [0, 0, 1]], np.float32
+    )
+
+    return FrameData(
+        frame_id=np.int32(cam.frame_id),
+        cam_color=spec_color,
+        cam_tof=spec_tof,
+        gt_image=gt_image,
+        gt_phasor=chw(cam.tof_image, 3),
+        gt_quad=quads,
+        gt_distance=chw(cam.distance_image, 1),
+        forward_flow=chw(cam.forward_flow, 2),
+        backward_flow=chw(cam.backward_flow, 2),
+        has_forward_flow=np.bool_(cam.forward_flow is not None),
+        has_backward_flow=np.bool_(cam.backward_flow is not None),
+        phase_offset=np.float32(cam.phase_offset),
+        dc_offset=np.float32(cam.dc_offset),
+        intrinsics_tof=k_tof,
+        intrinsics_color=k_color,
+    )
+
+
+def stack_frames(cams: List[CameraRecord]) -> FrameData:
+    frames = [build_frame(c) for c in cams]
+    return jax.tree.map(lambda *xs: jnp.stack([jnp.asarray(x) for x in xs]), *frames)
+
+
+def take_frame(frameset: FrameData, idx) -> FrameData:
+    return jax.tree.map(lambda a: a[idx], frameset)
+
+
+class Scene:
+    """Loaded scene: stacked frames + initialized Gaussian model."""
+
+    def __init__(self, cfg: Config, load_data: Optional[SceneData] = None,
+                 init_model: bool = True):
+        self.cfg = cfg
+        m = cfg.model
+        self.data = load_data or read_scene(m.source_path, m, m.eval)
+        self.scene_type = self.data.scene_type
+        self.scene_extent = float(self.data.scene_extent)
+        self.cameras_extent = float(self.data.cameras_extent)
+        self.tof_permutation = tuple(int(i) for i in self.data.tof_permutation)
+        self.tof_inverse_permutation = tuple(
+            int(i) for i in self.data.tof_inverse_permutation
+        )
+
+        self.train_frames = stack_frames(self.data.train_cameras)
+        if self.data.test_cameras is self.data.train_cameras:
+            self.test_frames = self.train_frames
+        else:
+            self.test_frames = stack_frames(self.data.test_cameras)
+        self.num_train = len(self.data.train_cameras)
+
+        c0 = self.data.train_cameras[0]
+        self.color_size = (c0.height, c0.width)
+        self.tof_size = (c0.tof_height, c0.tof_width)
+
+        self.model_state: Optional[GaussianModelState] = None
+        if init_model:
+            n = self.data.points.shape[0]
+            cap = cfg.tpu.capacity or _next_pow2(max(2 * n, n + 1024))
+            self.model_state = init_from_pcd(
+                self.data.points, self.data.colors,
+                self.data.phases[:, 0] if self.data.phases is not None else None,
+                self.data.amplitudes[:, 0] if self.data.amplitudes is not None else None,
+                self.data.seg_colors,
+                capacity=cap,
+                sh_degree=m.sh_degree,
+                initial_opacity=m.initial_opacity,
+                isotropic=m.isotropic_gaussians,
+                init_static_first=m.init_static_first,
+            )
+
+    def raster_config(self, tof: bool, sh_degree: int) -> RasterConfig:
+        h, w = self.tof_size if tof else self.color_size
+        t = self.cfg.tpu
+        return RasterConfig(
+            height=h, width=w,
+            max_per_tile=t.max_per_tile,
+            dup_factor=t.dup_factor,
+            sh_degree=sh_degree,
+            use_view_dependent_phase=self.cfg.model.use_view_dependent_phase,
+            tile_chunk=t.tile_chunk,
+            use_pallas=t.use_pallas,
+        )
+
+
+def _next_pow2(n: int) -> int:
+    p = 1
+    while p < n:
+        p *= 2
+    return p

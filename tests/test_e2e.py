@@ -1,0 +1,135 @@
+"""End-to-end pipeline tests: dataset generation -> readers -> Scene ->
+Trainer -> eval -> export, on tiny synthetic scenes."""
+
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from gftorf_tpu.config import Config
+from gftorf_tpu.data.generate import write_dataset
+from gftorf_tpu.data.readers import detect_scene_type, read_scene
+from gftorf_tpu.data.scene import Scene
+from gftorf_tpu.train.loop import Trainer
+
+
+@pytest.fixture(scope="module")
+def ftorf_dir(tmp_path_factory):
+    d = tmp_path_factory.mktemp("ftorf_scene")
+    write_dataset(str(d), num_frames=8, width=64, height=48)
+    return str(d)
+
+
+@pytest.fixture(scope="module")
+def torf_dir(tmp_path_factory):
+    d = tmp_path_factory.mktemp("torf_scene")
+    write_dataset(str(d), num_frames=4, width=64, height=48, torf_layout=True)
+    return str(d)
+
+
+def base_cfg(path, model_path, **kw):
+    data = dict(
+        source_path=path, model_path=model_path,
+        total_num_views=8, tof_image_width=64, tof_image_height=48,
+        color_image_width=64, color_image_height=48,
+        depth_range=15.0, num_points=2000, iterations=100,
+        warm_up=10, densify_from_iter=20, densification_interval=25,
+        densify_until_iter=90, opacity_reset_interval=1000,
+        lambda_color=0.5, lambda_tof=1.0, random_bg_color=True,
+        position_lr_max_steps=100, dataset_type="quad",
+    )
+    data.update(kw)
+    return Config.from_dict(data)
+
+
+class TestReaders:
+    def test_detect(self, ftorf_dir, torf_dir):
+        assert detect_scene_type(ftorf_dir) == "ftorf"
+        assert detect_scene_type(torf_dir) == "torf"
+
+    def test_read_ftorf(self, ftorf_dir):
+        cfg = base_cfg(ftorf_dir, "/tmp/out_f")
+        data = read_scene(ftorf_dir, cfg.model, eval_split=False)
+        assert data.scene_type == "ftorf"
+        assert len(data.train_cameras) == 8
+        c = data.train_cameras[0]
+        assert c.tof_image.shape == (48, 64, 3)
+        assert c.quads.shape == (4, 48, 64)
+        assert data.points.shape == (2000, 3)
+        assert np.isfinite(data.points).all()
+        # all points initialized dynamic (red seg)
+        assert np.all(data.seg_colors[:, 0] == 1.0)
+
+    def test_read_torf(self, torf_dir):
+        cfg = base_cfg(torf_dir, "/tmp/out_t", total_num_views=4)
+        data = read_scene(torf_dir, cfg.model, eval_split=False)
+        assert data.scene_type == "torf"
+        assert len(data.train_cameras) == 4
+        assert data.train_cameras[0].distance_image is not None
+
+    def test_phase_init(self, ftorf_dir):
+        cfg = base_cfg(ftorf_dir, "/tmp/out_p", init_method="phase",
+                       phase_resolution_stride=4)
+        data = read_scene(ftorf_dir, cfg.model, eval_split=False)
+        assert data.points.shape[0] == (48 // 4) * (64 // 4)
+        assert np.isfinite(data.points).all()
+
+
+class TestTrainerFToRF:
+    def test_short_training_improves(self, ftorf_dir, tmp_path):
+        cfg = base_cfg(
+            ftorf_dir, str(tmp_path / "model"), use_quad=True, dynamic=True,
+            flow_loss_iter_start=40, optimize_sync_iters=-1,
+            lambda_flow=0.01, lambda_color=0.0,
+        )
+        trainer = Trainer(cfg)
+        first_losses, last_losses = [], []
+        for i in range(100):
+            out = trainer.step()
+            assert np.isfinite(out["loss"]), f"loss diverged at {i}"
+            # Track the ToF data term only: the flow loss switches on at
+            # iteration 40, so the total is not comparable across phases.
+            if i < 10:
+                first_losses.append(out["l1_p"])
+            if i >= 90:
+                last_losses.append(out["l1_p"])
+        assert np.mean(last_losses) < np.mean(first_losses)
+        assert out["num_points"] >= 2000 * 0.2  # not collapsed
+
+        from gftorf_tpu.train.evaluate import evaluate_and_report
+
+        report = evaluate_and_report(trainer, max_frames=2)
+        assert np.isfinite(report["test"]["l1_p"])
+
+        from gftorf_tpu.train.export import (
+            load_gaussians_from_ply,
+            save_scene_artifacts,
+        )
+
+        out_dir = save_scene_artifacts(trainer, 100)
+        loaded = load_gaussians_from_ply(
+            os.path.join(out_dir, "point_cloud_full.ply")
+        )
+        n_alive = int(trainer.model.aux.alive.sum())
+        assert loaded.xyz.shape == (n_alive, 3)
+        alive_idx = np.where(np.asarray(trainer.model.aux.alive))[0]
+        np.testing.assert_allclose(
+            loaded.xyz, np.asarray(trainer.model.params.xyz)[alive_idx],
+            rtol=1e-6,
+        )
+
+    def test_checkpoint_roundtrip(self, ftorf_dir, tmp_path):
+        cfg = base_cfg(ftorf_dir, str(tmp_path / "model2"), iterations=10)
+        tr = Trainer(cfg)
+        for _ in range(5):
+            tr.step()
+        ck = str(tmp_path / "ck.npz")
+        tr.save_checkpoint(ck)
+        tr2 = Trainer(cfg, scene=tr.scene)
+        tr2.load_checkpoint(ck)
+        assert tr2.iteration == 5
+        np.testing.assert_array_equal(
+            np.asarray(tr.model.params.xyz), np.asarray(tr2.model.params.xyz)
+        )

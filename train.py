@@ -1,0 +1,123 @@
+#!/usr/bin/env python
+"""Training CLI, reference-compatible (train.py in brownvc/gftorf).
+
+Usage:
+    python train.py --config configs/ftorf.json [--source_path ...] [...]
+
+Any ModelParams / OptimizationParams / PipelineParams / TpuParams field
+can be overridden on the command line; precedence is defaults < JSON <
+CLI, matching the reference (train.py:605-643).
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+
+def build_parser() -> argparse.ArgumentParser:
+    from gftorf_tpu.config import (
+        Config,
+        ModelParams,
+        OptimizationParams,
+        PipelineParams,
+        TpuParams,
+    )
+
+    parser = argparse.ArgumentParser(description="gftorf_tpu training")
+    parser.add_argument("--config", type=str, required=True)
+    parser.add_argument("--test_iterations", nargs="+", type=int, default=None)
+    parser.add_argument("--save_iterations", nargs="+", type=int, default=None)
+    parser.add_argument("--checkpoint_iterations", nargs="+", type=int,
+                        default=None)
+    parser.add_argument("--start_checkpoint", type=str, default=None)
+    parser.add_argument("--quiet", action="store_true")
+    for group in (ModelParams(), OptimizationParams(), PipelineParams(),
+                  TpuParams()):
+        for f in dataclasses.fields(group):
+            if f.name in ("test_iterations", "save_iterations",
+                          "checkpoint_iterations"):
+                continue
+            default = getattr(group, f.name)
+            if isinstance(default, bool):
+                parser.add_argument(f"--{f.name}", type=lambda s: s.lower()
+                                    in ("1", "true", "yes"), default=None)
+            elif isinstance(default, list):
+                parser.add_argument(f"--{f.name}", nargs=len(default),
+                                    type=float, default=None)
+            else:
+                parser.add_argument(f"--{f.name}", type=type(default),
+                                    default=None)
+    return parser
+
+
+def main(argv=None):
+    from gftorf_tpu.config import Config
+
+    parser = build_parser()
+    args = parser.parse_args(argv)
+    overrides = {k: v for k, v in vars(args).items()
+                 if k not in ("config", "quiet", "start_checkpoint")
+                 and v is not None}
+    cfg = Config.from_json(args.config, overrides)
+
+    os.makedirs(cfg.model.model_path, exist_ok=True)
+    cfg.save(cfg.model.model_path)
+
+    from gftorf_tpu.train.loop import Trainer
+    from gftorf_tpu.train.evaluate import evaluate_and_report
+
+    trainer = Trainer(cfg)
+    if args.start_checkpoint:
+        trainer.load_checkpoint(args.start_checkpoint)
+
+    iterations = cfg.opt.iterations
+    test_iters = args.test_iterations
+    if test_iters is None:
+        test_iters = [1] + list(
+            np.linspace(0, iterations, iterations // 1000 + 1).astype(int)
+        )
+    save_iters = args.save_iterations or [iterations // 2, iterations]
+    ckpt_iters = args.checkpoint_iterations or []
+
+    t_start = time.time()
+    log_path = os.path.join(cfg.model.model_path, "train_log.jsonl")
+    log_f = open(log_path, "a")
+    while trainer.iteration < iterations:
+        out = trainer.step()
+        it = out["iteration"]
+        if it % 50 == 0 or it == 1:
+            log_f.write(json.dumps(out) + "\n")
+            log_f.flush()
+        if not args.quiet and (it % 200 == 0 or it == 1):
+            print(
+                f"[{it}/{iterations}] loss {out['ema_loss']:.5f} "
+                f"pts {out['num_points']} vis {out['visible']} "
+                f"{out['iter_time']*1e3:.1f} ms", flush=True,
+            )
+        if it in test_iters:
+            report = evaluate_and_report(trainer)
+            log_f.write(json.dumps({"eval": report, "iteration": it}) + "\n")
+            log_f.flush()
+            if not args.quiet:
+                print(f"[eval {it}] {report}", flush=True)
+        if it in save_iters:
+            from gftorf_tpu.train.export import save_scene_artifacts
+
+            save_scene_artifacts(trainer, it)
+        if it in ckpt_iters:
+            trainer.save_checkpoint(
+                os.path.join(cfg.model.model_path, f"chkpnt{it}.npz")
+            )
+    log_f.close()
+    print(f"Training complete in {time.time()-t_start:.1f} s")
+
+
+if __name__ == "__main__":
+    main()
