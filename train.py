@@ -32,6 +32,9 @@ def build_parser() -> argparse.ArgumentParser:
 
     parser = argparse.ArgumentParser(description="gftorf_tpu training")
     parser.add_argument("--config", type=str, required=True)
+    parser.add_argument("--platform", type=str, default=None,
+                        help="force a jax platform (tpu/cpu); the TPU "
+                             "plugin overrides JAX_PLATFORMS, this wins")
     parser.add_argument("--test_iterations", nargs="+", type=int, default=None)
     parser.add_argument("--save_iterations", nargs="+", type=int, default=None)
     parser.add_argument("--checkpoint_iterations", nargs="+", type=int,
@@ -62,8 +65,13 @@ def main(argv=None):
 
     parser = build_parser()
     args = parser.parse_args(argv)
+    if args.platform:
+        import jax
+
+        jax.config.update("jax_platforms", args.platform)
     overrides = {k: v for k, v in vars(args).items()
-                 if k not in ("config", "quiet", "start_checkpoint")
+                 if k not in ("config", "quiet", "start_checkpoint",
+                              "platform")
                  and v is not None}
     cfg = Config.from_json(args.config, overrides)
 
