@@ -154,7 +154,18 @@ def rasterize_sharded(
         bg_p, row0 * config.tile_h, rows * config.tile_h, axis=1
     )
 
-    out = composite_tiles(feats, bg_local, local_cfg)
+    # Global pixel-space tile origins for my local tile rows: mean2d is in
+    # global pixel coords, and the inside test needs the global H/W.
+    t_local = jnp.arange(rows * config.grid_w, dtype=jnp.int32)
+    tile_origins = jnp.stack(
+        [
+            (t_local % config.grid_w) * config.tile_w,
+            (t_local // config.grid_w + row0) * config.tile_h,
+        ],
+        axis=-1,
+    ).astype(jnp.float32)
+
+    out = composite_tiles(feats, bg_local, config, tile_origins=tile_origins)
 
     # ---- images: gather tile rows back to full height (replicated).
     def gather_img(tile_img):

@@ -172,26 +172,39 @@ def composite_tiles(
     feats: TileFeatures,
     bg_map: jnp.ndarray,
     config: RasterConfig,
+    tile_origins: jnp.ndarray | None = None,
 ) -> TileOutputs:
     """Composite all tiles, batched to bound memory.
 
     Args:
-        feats: TileFeatures with leading dim T = config.num_tiles.
-        bg_map: (7, H, W) background.
+        feats: TileFeatures with leading dim T (== config.num_tiles when
+            tile_origins is None).
+        bg_map: (7, Ht, Wt) background covering exactly these tiles
+            (row-major).
+        config: image bounds for the inside test are config.height/width;
+            when tile_origins is given these must be the GLOBAL image
+            dims and origins must be global pixel coords (sharded path).
+        tile_origins: optional (T, 2) float pixel coords of tile corners.
     """
-    T = config.num_tiles
-    gw, gh = config.grid_w, config.grid_h
+    T = feats.gauss_id.shape[0]
     th, tw = config.tile_h, config.tile_w
 
-    tile_idx = jnp.arange(T, dtype=jnp.int32)
-    tile_origin = jnp.stack(
-        [(tile_idx % gw) * tw, (tile_idx // gw) * th], axis=-1
-    ).astype(jnp.float32)
+    if tile_origins is None:
+        gw = config.grid_w
+        tile_idx = jnp.arange(T, dtype=jnp.int32)
+        tile_origins = jnp.stack(
+            [(tile_idx % gw) * tw, (tile_idx // gw) * th], axis=-1
+        ).astype(jnp.float32)
+    tile_origin = tile_origins
 
-    pad_h, pad_w = gh * th - config.height, gw * tw - config.width
-    bg_p = jnp.pad(bg_map, ((0, 0), (0, pad_h), (0, pad_w)))
+    # bg_map covers the tile span: rows = T / tiles-per-row.
+    bg_h, bg_w = bg_map.shape[1], bg_map.shape[2]
+    gw_local = bg_w // tw if bg_w % tw == 0 else -(-bg_w // tw)
+    gh_local = T // gw_local
+    pad_h, pad_w = gh_local * th - bg_h, gw_local * tw - bg_w
+    bg_p = jnp.pad(bg_map, ((0, 0), (0, max(pad_h, 0)), (0, max(pad_w, 0))))
     bg_tiles = (
-        bg_p.reshape(7, gh, th, gw, tw)
+        bg_p.reshape(7, gh_local, th, gw_local, tw)
         .transpose(1, 3, 0, 2, 4)
         .reshape(T, 7, th, tw)
     )

@@ -8,7 +8,7 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 from jax.sharding import PartitionSpec as P
-from jax.experimental.shard_map import shard_map
+from jax import shard_map
 
 from gftorf_tpu.data.synthetic import make_scene
 from gftorf_tpu.parallel.mesh import make_mesh
@@ -36,7 +36,7 @@ def make_fns(sc, n_shard):
 
     @functools.partial(
         shard_map, mesh=mesh,
-        in_specs=(P(),) * 6, out_specs=P(),
+        in_specs=(P(),) * 6, out_specs=P(), check_vma=False,
     )
     def sharded(*args):
         return rasterize_sharded(
