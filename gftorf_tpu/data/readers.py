@@ -562,10 +562,166 @@ def _init_pcd_ftorf(path, cams, args, depth_range, phase_offset):
                 seg_colors=seg.astype(np.float32))
 
 
+def _color_only_record(uid, R, T, fov_x, fov_y, width, height, image,
+                       distance=None, znear=0.01, zfar=100.0):
+    """Camera with no separate ToF sensor: tof camera mirrors color
+    (gaussian_renderer/__init__.py:78-79 falls back the same way)."""
+    from gftorf_tpu.ops.transforms import fov2focal
+
+    fx, fy = fov2focal(fov_x, width), fov2focal(fov_y, height)
+    return CameraRecord(
+        uid=uid, frame_id=uid,
+        R=R, T=T, fov_x=fov_x, fov_y=fov_y, fx=fx, fy=fy,
+        cx=width / 2.0, cy=height / 2.0, width=width, height=height,
+        image=image,
+        R_tof=R, T_tof=T, fov_x_tof=fov_x, fov_y_tof=fov_y,
+        fx_tof=fx, fy_tof=fy, cx_tof=width / 2.0, cy_tof=height / 2.0,
+        tof_width=width, tof_height=height, tof_image=None,
+        distance_image=distance, znear=znear, zfar=zfar,
+    )
+
+
+def read_colmap_scene(path: str, args: ModelParams, eval_split: bool,
+                      llffhold: int = 8) -> SceneData:
+    """readColmapSceneInfo (dataset_readers.py:191-238)."""
+    from PIL import Image
+
+    from gftorf_tpu.data.colmap import (
+        qvec2rotmat,
+        read_cameras_binary,
+        read_cameras_text,
+        read_images_binary,
+        read_images_text,
+        read_points3d_binary,
+        read_points3d_text,
+    )
+    from gftorf_tpu.ops.transforms import focal2fov
+
+    sparse = os.path.join(path, "sparse", "0")
+    try:
+        extr = read_images_binary(os.path.join(sparse, "images.bin"))
+        intr = read_cameras_binary(os.path.join(sparse, "cameras.bin"))
+    except FileNotFoundError:
+        extr = read_images_text(os.path.join(sparse, "images.txt"))
+        intr = read_cameras_text(os.path.join(sparse, "cameras.txt"))
+
+    img_dir = os.path.join(path, args.images or "images")
+    cams = []
+    for key in sorted(extr, key=lambda k: extr[k].name):
+        e = extr[key]
+        c = intr[e.camera_id]
+        if c.model == "SIMPLE_PINHOLE":
+            fov_x = focal2fov(c.params[0], c.width)
+            fov_y = focal2fov(c.params[0], c.height)
+        elif c.model == "PINHOLE":
+            fov_x = focal2fov(c.params[0], c.width)
+            fov_y = focal2fov(c.params[1], c.height)
+        else:
+            raise ValueError(f"unsupported colmap model {c.model}")
+        img = np.asarray(
+            Image.open(os.path.join(img_dir, os.path.basename(e.name))),
+            np.float32,
+        )[..., :3] / 255.0
+        cams.append(_color_only_record(
+            uid=len(cams), R=np.transpose(qvec2rotmat(e.qvec)),
+            T=np.array(e.tvec), fov_x=fov_x, fov_y=fov_y,
+            width=int(c.width), height=int(c.height), image=img,
+        ))
+
+    if eval_split:
+        train = [c for i, c in enumerate(cams) if i % llffhold != 0]
+        test = [c for i, c in enumerate(cams) if i % llffhold == 0]
+    else:
+        train, test = cams, cams
+
+    try:
+        xyz, rgb, _ = read_points3d_binary(os.path.join(sparse, "points3D.bin"))
+    except FileNotFoundError:
+        xyz, rgb, _ = read_points3d_text(os.path.join(sparse, "points3D.txt"))
+
+    extent = _camera_centers_extent(train)
+    n = xyz.shape[0]
+    return SceneData(
+        scene_type="colmap", train_cameras=train, test_cameras=test,
+        spiral_cameras=[],
+        points=xyz.astype(np.float32), colors=(rgb / 255.0).astype(np.float32),
+        phases=np.zeros((n, 1), np.float32),
+        amplitudes=np.full((n, 1), args.initial_amplitude, np.float32),
+        seg_colors=np.zeros((n, 3), np.float32),  # all static
+        scene_extent=extent, cameras_extent=extent,
+        tof_permutation=np.arange(4), tof_inverse_permutation=np.arange(4),
+        depth_range=args.depth_range, phase_offset=0.0, dc_offset=0.0,
+        znear=0.01, zfar=100.0,
+    )
+
+
+def read_blender_scene(path: str, args: ModelParams, eval_split: bool,
+                       extension: str = ".png") -> SceneData:
+    """readNerfSyntheticInfo (dataset_readers.py:241-340)."""
+    import json
+
+    from PIL import Image
+
+    from gftorf_tpu.ops.transforms import focal2fov, fov2focal
+
+    def load_split(transforms):
+        cams = []
+        with open(os.path.join(path, transforms)) as f:
+            contents = json.load(f)
+        fov_x = contents["camera_angle_x"]
+        bg = args.bg_color[0] if args.bg_color else 0.0
+        for idx, fr in enumerate(contents["frames"]):
+            c2w = np.array(fr["transform_matrix"])
+            c2w[:3, 1:3] *= -1  # OpenGL -> COLMAP axes
+            w2c = np.linalg.inv(c2w)
+            img = np.asarray(
+                Image.open(
+                    os.path.join(path, fr["file_path"] + extension)
+                ).convert("RGBA"),
+                np.float32,
+            ) / 255.0
+            rgb = img[..., :3] * img[..., 3:] + bg * (1 - img[..., 3:])
+            h, w = rgb.shape[:2]
+            fov_y = focal2fov(fov2focal(fov_x, w), h)
+            cams.append(_color_only_record(
+                uid=len(cams), R=np.transpose(w2c[:3, :3]), T=w2c[:3, 3],
+                fov_x=fov_x, fov_y=fov_y, width=w, height=h,
+                image=rgb.astype(np.float32),
+            ))
+        return cams
+
+    train = load_split("transforms_train.json")
+    test = load_split("transforms_test.json")
+    if not eval_split:
+        train = train + test
+        test = train
+
+    n = args.num_points
+    xyz = np.random.random((n, 3)) * 2.6 - 1.3
+    extent = _camera_centers_extent(train)
+    return SceneData(
+        scene_type="blender", train_cameras=train, test_cameras=test,
+        spiral_cameras=[],
+        points=xyz.astype(np.float32),
+        colors=np.full((n, 3), 0.5, np.float32),
+        phases=(np.random.random((n, 1)) * 2 * np.pi).astype(np.float32),
+        amplitudes=np.full((n, 1), 0.5, np.float32),
+        seg_colors=np.zeros((n, 3), np.float32),
+        scene_extent=extent, cameras_extent=extent,
+        tof_permutation=np.arange(4), tof_inverse_permutation=np.arange(4),
+        depth_range=args.depth_range, phase_offset=0.0, dc_offset=0.0,
+        znear=0.01, zfar=100.0,
+    )
+
+
 def read_scene(path: str, args: ModelParams, eval_split: bool) -> SceneData:
     t = detect_scene_type(path)
     if t == "torf":
         return read_torf_scene(path, args, eval_split)
     if t == "ftorf":
         return read_ftorf_scene(path, args)
+    if t == "colmap":
+        return read_colmap_scene(path, args, eval_split)
+    if t == "blender":
+        return read_blender_scene(path, args, eval_split)
     raise NotImplementedError(f"scene type {t} not yet supported")

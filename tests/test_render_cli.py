@@ -1,0 +1,51 @@
+"""Drive the render.py pipeline on a freshly-trained tiny model."""
+
+import os
+
+import numpy as np
+import pytest
+
+from gftorf_tpu.config import Config
+from gftorf_tpu.data.generate import write_dataset
+from gftorf_tpu.train.export import save_scene_artifacts
+from gftorf_tpu.train.loop import Trainer
+
+
+@pytest.fixture(scope="module")
+def trained_model(tmp_path_factory):
+    scene_dir = tmp_path_factory.mktemp("scene")
+    model_dir = tmp_path_factory.mktemp("model")
+    write_dataset(str(scene_dir), num_frames=4, width=48, height=32)
+    cfg = Config.from_dict(dict(
+        source_path=str(scene_dir), model_path=str(model_dir),
+        total_num_views=4, tof_image_width=48, tof_image_height=32,
+        color_image_width=48, color_image_height=32,
+        depth_range=15.0, num_points=500, iterations=10,
+        warm_up=1000, densify_from_iter=1000, densify_until_iter=5,
+        lambda_color=0.5, use_quad=True, dataset_type="quad",
+    ))
+    cfg.save(cfg.model.model_path)
+    trainer = Trainer(cfg)
+    for _ in range(10):
+        trainer.step()
+    save_scene_artifacts(trainer, 10)
+    return str(model_dir)
+
+
+def test_render_sets(trained_model):
+    from gftorf_tpu.render_sets import render_sets
+
+    base = render_sets(trained_model, iteration=10, skip_train=True,
+                       skip_video=False, max_frames=2)
+    test_dir = os.path.join(base, "test")
+    for ch in ["color", "real", "imag", "amp", "depth", "depth_tof", "dd",
+               "quad"]:
+        p = os.path.join(test_dir, ch, "0000.png")
+        assert os.path.exists(p), f"missing {p}"
+    assert os.path.exists(os.path.join(test_dir, "depth", "0000.npy"))
+    assert os.path.exists(os.path.join(test_dir, "color.gif"))
+    import imageio
+
+    img = imageio.imread(os.path.join(test_dir, "color", "0000.png"))
+    assert img.shape[:2] == (32, 48)
+    assert img.max() > 0  # rendered something
