@@ -25,9 +25,12 @@ def main():
 
     width, height = 640, 480
     num_points = 100_000
+    # Realistic 3DGS footprint: a few pixels radius -> ~1-6 tiles touched
+    # per Gaussian (the default synthetic scales are film-the-wall huge).
     sc = make_scene(
         jax.random.PRNGKey(0), num_points=num_points, width=width,
-        height=height, max_per_tile=1024,
+        height=height, max_per_tile=1024, scale_range=(0.004, 0.02),
+        dup_factor=8,
     )
     n = sc.means3d.shape[0]
     bg = jnp.zeros((7, height, width))

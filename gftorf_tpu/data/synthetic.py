@@ -38,6 +38,7 @@ def make_scene(
     use_view_dependent_phase: bool = False,
     max_per_tile: int = 2048,
     isotropic: bool = False,
+    dup_factor: int = 12,
 ) -> SyntheticScene:
     ks = jax.random.split(key, 8)
     m = (sh_degree + 1) ** 2
@@ -74,6 +75,7 @@ def make_scene(
         sh_degree=sh_degree,
         max_per_tile=max_per_tile,
         use_view_dependent_phase=use_view_dependent_phase,
+        dup_factor=dup_factor,
     )
     return SyntheticScene(
         means3d=means3d,

@@ -165,7 +165,15 @@ def rasterize_sharded(
         axis=-1,
     ).astype(jnp.float32)
 
-    out = composite_tiles(feats, bg_local, config, tile_origins=tile_origins)
+    if config.use_pallas and jax.default_backend() == "tpu":
+        from gftorf_tpu.render.pallas_composite import composite_tiles_pallas
+
+        out = composite_tiles_pallas(
+            feats, bg_local, config, tile_origins=tile_origins
+        )
+    else:
+        out = composite_tiles(feats, bg_local, config,
+                              tile_origins=tile_origins)
 
     # ---- images: gather tile rows back to full height (replicated).
     def gather_img(tile_img):

@@ -3,18 +3,12 @@
 
 TPU-native replacement for the reference's cub pipeline
 (rasterizer_impl.cu:72-140, 215-377): InclusiveSum + duplicateWithKeys +
-DeviceRadixSort + identifyTileRanges. Differences by design:
-
- - fixed-capacity padded duplicate list (XLA needs static shapes); the
-   expansion uses the searchsorted-over-cumsum trick instead of a scatter
-   loop;
- - a two-key stable `jax.lax.sort` over (tile, view-depth) replaces the
-   packed 64-bit radix sort. Stability preserves Gaussian submission
-   order for equal depths, like the reference's radix sort over
-   ascending-index input;
- - the sorted list is scattered into a dense (T, L) index grid so the
-   compositor sees fully regular shapes; per-tile overflow beyond L is
-   dropped and reported.
+DeviceRadixSort + identifyTileRanges. Designed around what is fast on
+TPU (measured on v5e): lax.sort and prefix scans are nearly free, while
+random gathers cost ~5 ms per million rows — so the stream expansion
+uses scatter + cummax segment propagation instead of searchsorted
+(which costs ~17 binary-search gathers per slot), and per-slot fields
+come from a single gather of one packed int32.
 
 Everything here is integer bookkeeping: no gradients flow through it
 (the compositor re-gathers differentiable features by index).
@@ -62,35 +56,67 @@ def bin_gaussians(
     cum = jnp.cumsum(counts)
     num_rendered = cum[-1]
     dup_overflow = num_rendered > capacity
+    offsets = cum - counts  # (P,) start slot of each gaussian's span
 
-    # Expand: slot k belongs to gaussian g = first index with cum[g] > k.
     slots = jnp.arange(capacity, dtype=jnp.int32)
-    g = jnp.searchsorted(cum, slots, side="right").astype(jnp.int32)
     slot_valid = slots < num_rendered
-    g_c = jnp.clip(g, 0, P - 1)
-    within = slots - (cum[g_c] - counts[g_c])
+
+    # Segment-propagate the owning gaussian: scatter the index at each
+    # span start (max resolves zero-count collisions toward the real
+    # owner, which always has the larger index), then cummax.
+    gids = jnp.arange(P, dtype=jnp.int32)
+    seg = jnp.zeros((capacity,), jnp.int32).at[offsets].max(gids, mode="drop")
+    g = jax.lax.cummax(seg)
+
+    # Span-start position per slot, same trick (offsets are monotone).
+    start = jnp.zeros((capacity,), jnp.int32).at[offsets].max(
+        offsets, mode="drop"
+    )
+    start = jax.lax.cummax(start)
+    within = slots - start
+
+    # Per-slot rect fields from one packed gather (grid dims < 256 each;
+    # RasterConfig asserts this via capacity_for callers).
+    packed = (
+        rect[:, 0] | (rect[:, 1] << 8) | (jnp.maximum(nx, 1) << 16)
+    ).astype(jnp.int32)
+    pk = jnp.take(packed, g, axis=0)
+    x0 = pk & 0xFF
+    y0 = (pk >> 8) & 0xFF
+    nxg = (pk >> 16) & 0xFF
     # Row-major walk over the rect (y outer, x inner), matching
     # duplicateWithKeys (rasterizer_impl.cu:72-113).
-    nx_g = jnp.maximum(nx[g_c], 1)
-    tile_x = rect[g_c, 0] + within % nx_g
-    tile_y = rect[g_c, 1] + within // nx_g
+    tile_x = x0 + within % nxg
+    tile_y = y0 + within // nxg
     tile = tile_y * config.grid_w + tile_x
-    tile = jnp.where(slot_valid, tile, T).astype(jnp.int32)  # sentinel sorts last
-    depth = jnp.where(slot_valid, depth_view[g_c], jnp.inf).astype(jnp.float32)
+    tile = jnp.where(slot_valid, tile, T).astype(jnp.int32)  # sentinel last
+    depth = jnp.where(slot_valid, jnp.take(depth_view, g, axis=0), jnp.inf)
 
     # Stable two-key sort: primary tile, secondary depth.
-    tile_s, _, g_s = jax.lax.sort((tile, depth, g_c), num_keys=2, is_stable=True)
+    tile_s, _, g_s = jax.lax.sort(
+        (tile, depth.astype(jnp.float32), g), num_keys=2, is_stable=True
+    )
 
     # Dense (T, L) layout: position within tile = index - tile_start.
-    tile_start = jnp.searchsorted(tile_s, jnp.arange(T, dtype=jnp.int32), side="left")
-    pos = jnp.arange(capacity, dtype=jnp.int32) - tile_start[jnp.clip(tile_s, 0, T - 1)]
+    tile_start = jnp.searchsorted(tile_s, jnp.arange(T, dtype=jnp.int32),
+                                  side="left")
+    tile_end = jnp.searchsorted(tile_s, jnp.arange(T, dtype=jnp.int32),
+                                side="right")
+    # Per-slot tile start via the same scatter+cummax propagation (the
+    # sorted tile ids are monotone): scatter each slot's own index where a
+    # new tile begins.
+    is_head = jnp.concatenate(
+        [jnp.ones((1,), bool), tile_s[1:] != tile_s[:-1]]
+    )
+    head_pos = jnp.where(is_head, slots, 0)
+    seg_start = jax.lax.cummax(head_pos)
+    pos = slots - seg_start
     keep = (tile_s < T) & (pos < L)
-    scatter_tile = jnp.where(keep, tile_s, T)  # out-of-range rows dropped
+    scatter_tile = jnp.where(keep, tile_s, T)
     scatter_pos = jnp.where(keep, pos, 0)
     gauss_id = jnp.full((T, L), -1, jnp.int32)
     gauss_id = gauss_id.at[scatter_tile, scatter_pos].set(g_s, mode="drop")
 
-    tile_end = jnp.searchsorted(tile_s, jnp.arange(T, dtype=jnp.int32), side="right")
     raw_count = (tile_end - tile_start).astype(jnp.int32)
     tile_count = jnp.minimum(raw_count, L)
     tile_overflow = jnp.max(raw_count - tile_count)

@@ -65,18 +65,32 @@ def rasterize(
 
     ids = binning.gauss_id
     idc = jnp.maximum(ids, 0)
-    feats = TileFeatures(
-        gauss_id=ids,
-        mean2d=jnp.take(pre.mean2d, idc, axis=0),
-        conic=jnp.take(pre.conic, idc, axis=0),
-        opacity=jnp.take(pre.opacity, idc, axis=0),
-        rgb=jnp.take(pre.rgb, idc, axis=0),
-        phasor=jnp.take(pre.phasor, idc, axis=0),
-        dist=jnp.take(pre.dist, idc, axis=0),
-        dist_ndc=jnp.take(pre.dist_ndc, idc, axis=0),
-    )
 
-    out = composite_tiles(feats, bg_map, config)
+    if config.use_pallas and jax.default_backend() == "tpu":
+        from gftorf_tpu.render.pallas_composite import (
+            composite_packed_pallas,
+            pack_gaussian_features,
+        )
+
+        # Single instance gather of one packed feature matrix (random
+        # gathers are the expensive primitive on TPU).
+        packed = pack_gaussian_features(pre)  # (P, 24)
+        gathered = jnp.take(packed, idc.reshape(-1), axis=0)
+        T, L = ids.shape
+        packed_tl = jnp.moveaxis(gathered.reshape(T, L, 24), -1, 1)
+        out = composite_packed_pallas(packed_tl, ids, bg_map, config)
+    else:
+        feats = TileFeatures(
+            gauss_id=ids,
+            mean2d=jnp.take(pre.mean2d, idc, axis=0),
+            conic=jnp.take(pre.conic, idc, axis=0),
+            opacity=jnp.take(pre.opacity, idc, axis=0),
+            rgb=jnp.take(pre.rgb, idc, axis=0),
+            phasor=jnp.take(pre.phasor, idc, axis=0),
+            dist=jnp.take(pre.dist, idc, axis=0),
+            dist_ndc=jnp.take(pre.dist_ndc, idc, axis=0),
+        )
+        out = composite_tiles(feats, bg_map, config)
 
     # Per-Gaussian touched-pixel counts: deterministic segment-sum over the
     # instance list (replaces atomicAdd at forward.cu:629).
