@@ -131,12 +131,20 @@ def init_from_pcd(
     m = (sh_degree + 1) ** 2
     pts = jnp.asarray(points, jnp.float32)
 
+    def knn(p):
+        # Native Morton-ordered KNN on host when available (the
+        # simple-knn equivalent); exact on-device fallback otherwise.
+        from gftorf_tpu.native import mean_knn_sq_dist_native
+
+        host = mean_knn_sq_dist_native(np.asarray(p))
+        if host is not None:
+            return jnp.asarray(host)
+        return mean_knn_sq_dist(p)
+
     if init_static_first:
-        d2a = mean_knn_sq_dist(pts[: n // 2])
-        d2b = mean_knn_sq_dist(pts[n // 2 :])
-        dist2 = jnp.concatenate([d2a, d2b])
+        dist2 = jnp.concatenate([knn(pts[: n // 2]), knn(pts[n // 2 :])])
     else:
-        dist2 = mean_knn_sq_dist(pts)
+        dist2 = knn(pts)
     dist2 = jnp.maximum(dist2, 1e-7)
     log_scale = jnp.log(jnp.sqrt(dist2))[:, None]
     scaling = log_scale if isotropic else jnp.repeat(log_scale, 3, axis=1)

@@ -58,7 +58,7 @@ def _forward_kernel(counts_ref, origins_ref, geo_ref, wfeat_ref, bg_ref,
     py = oy + (pid // tw).astype(jnp.float32)
     inside = (px < config.width) & (py < config.height)
 
-    contrib_ref[0, :] = jnp.zeros((L,), jnp.float32)
+    contrib_ref[0, 0, :] = jnp.zeros((L,), jnp.float32)
 
     def body(carry):
         (c, t_run, done, accum, dd, a_run, wz_run, wz2_run,
@@ -129,7 +129,7 @@ def _forward_kernel(counts_ref, origins_ref, geo_ref, wfeat_ref, bg_ref,
         first = jnp.where(has_first, first, jnp.where(any_c, cand, first))
         has_first = has_first | any_c
 
-        contrib_ref[0, pl.ds(off, chunk)] = jnp.sum(
+        contrib_ref[0, 0, pl.ds(off, chunk)] = jnp.sum(
             contribute.astype(jnp.float32), axis=0
         )
 
@@ -612,7 +612,7 @@ def composite_forward_pallas(
         ],
         out_specs=[
             pl.BlockSpec((1, pix, 24), lambda t, c_ref, o_ref: (t, 0, 0)),
-            pl.BlockSpec((1, L), lambda t, c_ref, o_ref: (t, 0)),
+            pl.BlockSpec((1, 1, L), lambda t, c_ref, o_ref: (t, 0, 0)),
         ],
     )
     out, contrib = pl.pallas_call(
@@ -620,8 +620,8 @@ def composite_forward_pallas(
         grid_spec=grid_spec,
         out_shape=[
             jax.ShapeDtypeStruct((T, pix, 24), jnp.float32),
-            jax.ShapeDtypeStruct((T, L), jnp.float32),
+            jax.ShapeDtypeStruct((T, 1, L), jnp.float32),
         ],
         interpret=interpret,
     )(counts, origins, geo, wfeat, bg_tiles)
-    return PallasForward(out=out, contrib=contrib)
+    return PallasForward(out=out, contrib=contrib[:, 0, :])
