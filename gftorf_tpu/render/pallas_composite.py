@@ -40,6 +40,32 @@ from gftorf_tpu.render.settings import RasterConfig
 CHUNK = 256  # depth-axis chunk size (multiple of 128)
 
 
+def _scan_lanes(x, op, fill):
+    """Inclusive prefix scan along the last (lane) axis via the
+    Hillis-Steele doubling network (Mosaic lowers neither cumsum nor
+    cumprod inside kernels)."""
+    n = x.shape[-1]
+    s = 1
+    while s < n:
+        shifted = jnp.concatenate(
+            [jnp.full_like(x[..., :s], fill), x[..., :-s]], axis=-1
+        )
+        x = op(x, shifted)
+        s *= 2
+    return x
+
+
+def _cumsum_lanes(x):
+    return _scan_lanes(x, jnp.add, 0)
+
+
+def _excl_cumprod(x):
+    inc = _scan_lanes(x, jnp.multiply, 1.0)
+    return jnp.concatenate([jnp.ones_like(inc[..., :1]), inc[..., :-1]],
+                           axis=-1)
+
+
+
 def _forward_kernel(counts_ref, origins_ref, geo_ref, wfeat_ref, bg_ref,
                     out_ref, contrib_ref, *, config: RasterConfig, chunk: int):
     t = pl.program_id(0)
@@ -81,11 +107,9 @@ def _forward_kernel(counts_ref, origins_ref, geo_ref, wfeat_ref, bg_ref,
         valid = (power <= 0.0) & (alpha >= ALPHA_EPS) & inside
         a_eff = jnp.where(valid, alpha, 0.0)
         q = 1.0 - a_eff
-        # exclusive cumprod along lanes
-        t_in = jnp.cumprod(q, axis=-1) / q  # q >= 0.01, exact exclusive form
-        t_excl = t_run * t_in
+        t_excl = t_run * _excl_cumprod(q)
         fail = valid & (t_excl * q < T_STOP)
-        done_c = done | (jnp.cumsum(fail.astype(jnp.int32), axis=-1) > 0)
+        done_c = done | (_cumsum_lanes(fail.astype(jnp.int32)) > 0)
         contribute = valid & ~done_c
 
         w = jnp.where(contribute, alpha * t_excl, 0.0)
@@ -105,9 +129,9 @@ def _forward_kernel(counts_ref, origins_ref, geo_ref, wfeat_ref, bg_ref,
         # depth distortion with running exclusive moments
         wz = w * z[None, :]
         wz2 = wz * z[None, :]
-        a_ex = a_run + jnp.cumsum(w, axis=-1) - w
-        wz_ex = wz_run + jnp.cumsum(wz, axis=-1) - wz
-        wz2_ex = wz2_run + jnp.cumsum(wz2, axis=-1) - wz2
+        a_ex = a_run + _cumsum_lanes(w) - w
+        wz_ex = wz_run + _cumsum_lanes(wz) - wz
+        wz2_ex = wz2_run + _cumsum_lanes(wz2) - wz2
         zz = z[None, :] * z[None, :]
         dd_c = jnp.sum(w * zz * a_ex - 2.0 * wz * wz_ex + w * wz2_ex,
                        axis=-1, keepdims=True)
@@ -115,7 +139,7 @@ def _forward_kernel(counts_ref, origins_ref, geo_ref, wfeat_ref, bg_ref,
         # first contributing sample (alpha, dist, phasor amp = f[9]? amp
         # channel of phasor = wfeat row 4+2=6) per pixel
         c_i32 = contribute.astype(jnp.int32)
-        onehot = (jnp.cumsum(c_i32, axis=-1) == 1) & contribute
+        onehot = (_cumsum_lanes(c_i32) == 1) & contribute
         oh = onehot.astype(jnp.float32)
         cand = jnp.concatenate(
             [
@@ -142,8 +166,8 @@ def _forward_kernel(counts_ref, origins_ref, geo_ref, wfeat_ref, bg_ref,
             + jnp.where((col >= 4) & (col < 11), sums_wp, 0.0)
         )
 
-        t_run = t_run * jnp.prod(jnp.where(contribute, q, 1.0), axis=-1,
-                                 keepdims=True)
+        qm = jnp.where(contribute, q, 1.0)
+        t_run = t_run * _scan_lanes(qm, jnp.multiply, 1.0)[..., -1:]
         a_run = a_run + acc_c
         wz_run = wz_run + jnp.sum(wz, axis=-1, keepdims=True)
         wz2_run = wz2_run + jnp.sum(wz2, axis=-1, keepdims=True)
@@ -267,10 +291,9 @@ def _backward_kernel(counts_ref, origins_ref, geo_ref, wfeat_ref, bg_ref,
         valid = (power <= 0.0) & (alpha >= ALPHA_EPS) & inside
         a_eff = jnp.where(valid, alpha, 0.0)
         q = 1.0 - a_eff
-        t_in = jnp.cumprod(q, axis=-1) / q
-        t_excl = t_run * t_in
+        t_excl = t_run * _excl_cumprod(q)
         fail = valid & (t_excl * q < T_STOP)
-        done_c = done | (jnp.cumsum(fail.astype(jnp.int32), axis=-1) > 0)
+        done_c = done | (_cumsum_lanes(fail.astype(jnp.int32)) > 0)
         contribute = valid & ~done_c
         w = jnp.where(contribute, alpha * t_excl, 0.0)
         w_p = w * t_excl
@@ -288,9 +311,9 @@ def _backward_kernel(counts_ref, origins_ref, geo_ref, wfeat_ref, bg_ref,
         )
         sym = z[None, :] * z[None, :] * a_tot - 2.0 * z[None, :] * wz_tot + wz2_tot
 
-        u_f_incl = u_f + jnp.cumsum(w * e, axis=-1)
-        u_p_incl = u_p + jnp.cumsum(w_p * e_p, axis=-1)
-        u_dd_incl = u_dd + jnp.cumsum(g_dd * w * sym, axis=-1)
+        u_f_incl = u_f + _cumsum_lanes(w * e)
+        u_p_incl = u_p + _cumsum_lanes(w_p * e_p)
+        u_dd_incl = u_dd + _cumsum_lanes(g_dd * w * sym)
 
         d_alpha = (
             t_excl * e - (e_tot - u_f_incl) / q
@@ -335,8 +358,8 @@ def _backward_kernel(counts_ref, origins_ref, geo_ref, wfeat_ref, bg_ref,
         dwfeat_ref[0, 0:4, pl.ds(off, chunk)] = d_f
         dwfeat_ref[0, 4:11, pl.ds(off, chunk)] = d_p
 
-        t_run = t_run * jnp.prod(jnp.where(contribute, q, 1.0), axis=-1,
-                                 keepdims=True)
+        qm = jnp.where(contribute, q, 1.0)
+        t_run = t_run * _scan_lanes(qm, jnp.multiply, 1.0)[..., -1:]
         return (
             c + 1, t_run, done_c[:, -1:],
             u_f_incl[:, -1:], u_p_incl[:, -1:], u_dd_incl[:, -1:],
