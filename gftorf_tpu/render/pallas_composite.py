@@ -109,8 +109,13 @@ def _forward_kernel(counts_ref, origins_ref, geo_ref, wfeat_ref, bg_ref,
         q = 1.0 - a_eff
         t_excl = t_run * _excl_cumprod(q)
         fail = valid & (t_excl * q < T_STOP)
-        done_c = done | (_cumsum_lanes(fail.astype(jnp.int32)) > 0)
-        contribute = valid & ~done_c
+        # boolean carries don't legalize in Mosaic loops -> carry f32 flags
+        done_c = jnp.maximum(
+            done, (_cumsum_lanes(fail.astype(jnp.float32)) > 0.0).astype(
+                jnp.float32
+            ),
+        )
+        contribute = valid & (done_c < 0.5)
 
         w = jnp.where(contribute, alpha * t_excl, 0.0)
         w_p = w * t_excl
@@ -149,9 +154,11 @@ def _forward_kernel(counts_ref, origins_ref, geo_ref, wfeat_ref, bg_ref,
             ],
             axis=-1,
         )  # (PIX, 3)
-        any_c = jnp.any(contribute, axis=-1, keepdims=True)
-        first = jnp.where(has_first, first, jnp.where(any_c, cand, first))
-        has_first = has_first | any_c
+        any_c = jnp.max(contribute.astype(jnp.float32), axis=-1,
+                        keepdims=True)
+        first = jnp.where(has_first > 0.5, first,
+                          jnp.where(any_c > 0.5, cand, first))
+        has_first = jnp.maximum(has_first, any_c)
 
         contrib_ref[0, 0, pl.ds(off, chunk)] = jnp.sum(
             contribute.astype(jnp.float32), axis=0
@@ -176,19 +183,19 @@ def _forward_kernel(counts_ref, origins_ref, geo_ref, wfeat_ref, bg_ref,
 
     def cond(carry):
         c, t_run, done = carry[0], carry[1], carry[2]
-        return (c * chunk < count) & (c < n_chunks) & ~jnp.all(done)
+        return (c * chunk < count) & (c < n_chunks) & (jnp.min(done) < 0.5)
 
     init = (
         jnp.int32(0),
         jnp.ones((pix, 1), jnp.float32),  # t_run
-        jnp.zeros((pix, 1), bool),  # done
+        jnp.zeros((pix, 1), jnp.float32),  # done flag (f32: Mosaic carry)
         jnp.zeros((pix, 12), jnp.float32),  # accum
         jnp.zeros((pix, 1), jnp.float32),  # dd
         jnp.zeros((pix, 1), jnp.float32),  # a_run
         jnp.zeros((pix, 1), jnp.float32),  # wz_run
         jnp.zeros((pix, 1), jnp.float32),  # wz2_run
         jnp.zeros((pix, 3), jnp.float32),  # first
-        jnp.zeros((pix, 1), bool),  # has_first
+        jnp.zeros((pix, 1), jnp.float32),  # has_first (f32)
     )
     (_, t_run, _, accum, dd, a_run, wz_run, wz2_run, first, _) = (
         jax.lax.while_loop(cond, body, init)
@@ -293,8 +300,12 @@ def _backward_kernel(counts_ref, origins_ref, geo_ref, wfeat_ref, bg_ref,
         q = 1.0 - a_eff
         t_excl = t_run * _excl_cumprod(q)
         fail = valid & (t_excl * q < T_STOP)
-        done_c = done | (_cumsum_lanes(fail.astype(jnp.int32)) > 0)
-        contribute = valid & ~done_c
+        done_c = jnp.maximum(
+            done, (_cumsum_lanes(fail.astype(jnp.float32)) > 0.0).astype(
+                jnp.float32
+            ),
+        )
+        contribute = valid & (done_c < 0.5)
         w = jnp.where(contribute, alpha * t_excl, 0.0)
         w_p = w * t_excl
 
@@ -367,12 +378,12 @@ def _backward_kernel(counts_ref, origins_ref, geo_ref, wfeat_ref, bg_ref,
 
     def cond(carry):
         c, _, done = carry[0], carry[1], carry[2]
-        return (c * chunk < count) & (c < n_chunks) & ~jnp.all(done)
+        return (c * chunk < count) & (c < n_chunks) & (jnp.min(done) < 0.5)
 
     init = (
         jnp.int32(0),
         jnp.ones((pix, 1), jnp.float32),
-        jnp.zeros((pix, 1), bool),
+        jnp.zeros((pix, 1), jnp.float32),  # done flag (f32: Mosaic carry)
         jnp.zeros((pix, 1), jnp.float32),
         jnp.zeros((pix, 1), jnp.float32),
         jnp.zeros((pix, 1), jnp.float32),
