@@ -47,19 +47,26 @@ def main():
             + jnp.sum(out.depth**2)
         )
 
-    step = jax.jit(jax.grad(loss_fn, argnums=(0, 1, 2, 3, 4, 5)))
-    args = (sc.means3d, sc.scales, sc.rotations, sc.opacities, sc.shs,
-            sc.shs_p)
+    # Dependency-chain the iterations (feed the gradient back into the
+    # means) so the tunnel runtime cannot overlap or elide dispatches;
+    # fetch a scalar at the end to force completion.
+    @jax.jit
+    def step(means3d):
+        g = jax.grad(loss_fn, argnums=0)(
+            means3d, sc.scales, sc.rotations, sc.opacities, sc.shs, sc.shs_p
+        )
+        return means3d - 0.0 * g
 
-    # compile + warmup
-    g = step(*args)
-    jax.block_until_ready(g)
+    import numpy as np
+
+    m = step(sc.means3d)
+    np.asarray(m[0])  # force
 
     iters = 20
     t0 = time.perf_counter()
     for _ in range(iters):
-        g = step(*args)
-    jax.block_until_ready(g)
+        m = step(m)
+    np.asarray(m[0])
     dt = (time.perf_counter() - t0) / iters
 
     mpix_s = (width * height) / dt / 1e6

@@ -1,27 +1,32 @@
-"""Pallas TPU kernel for tile compositing (forward).
+"""Pallas TPU kernels for tile compositing (forward + custom-vjp backward).
 
 The XLA prefix-op compositor (render/composite.py) materializes many
-(PIX, L) intermediates in HBM; this kernel keeps the whole per-tile
-front-to-back blend in VMEM: one HBM read of the (C, L) feature block,
-one write of the (PIX, 24) output block, with the depth axis processed
-in CL-sized chunks under a while_loop that exits as soon as every pixel
-has saturated (the T < 1e-4 early-termination of forward.cu:539-543).
+(PIX, L) intermediates in HBM; these kernels keep the whole per-tile
+front-to-back blend in VMEM: one HBM read of the (L, 24) packed feature
+block, one write of the (PIX, 24) output block, with the depth axis
+processed in CL-sized chunks under a while_loop that exits as soon as
+every pixel has saturated (the T < 1e-4 early-termination of
+forward.cu:539-543).
 
-Layouts are lane-aligned: feature blocks are (T, C, L) so the depth
-axis L rides the 128-wide lanes; per-chunk intermediates are (PIX, CL);
-weighted feature sums are MXU matmuls contracting CL.
+Feature blocks arrive in gather order (T, L, 24) — one instance gather
+from a packed per-Gaussian matrix, no XLA transposes — and each chunk
+does a single in-VMEM (CL, 24) -> (24, CL) transpose to put the depth
+axis on the 128-wide lanes. Weighted feature sums are MXU matmuls.
+Padding needs no masking data: the dense layout is front-packed, so
+lanes >= count are dead.
 
-Channel packing
-  geo   (T, 8, L):  mean_x, mean_y, conic_a, conic_b, conic_c,
-                    opacity, dist_ndc, (pad)
-  wfeat (T, 12, L): rgb0..2, dist, phasor0..6, (pad)
-  bg    (T, PIX, 12): cols 0:3 color bg, 4:11 phasor bg
-  out   (T, PIX, 24):
-        0:3 color(+bg), 3 depth, 4:11 phasor(+bg), 11 acc, 12 dd,
-        13 final_T, 14:17 first-sample (alpha, dist, amp),
-        17 A_tot, 18 WZ_tot, 19 WZ2_tot (residuals for backward),
-        20:24 pad
-  contrib (T, L): per-instance contributing-pixel counts
+Packed column layout (pack_gaussian_features):
+  0:2 mean2d | 2:5 conic | 5 opacity | 6 dist_ndc | 7 pad
+  8:11 rgb | 11 dist | 12:19 phasor | 19:24 pad
+
+Output block (T, PIX, 24):
+  0:3 color(+bg), 3 depth, 4:11 phasor(+bg), 11 acc, 12 dd,
+  13 final_T, 14:17 first-sample (alpha, dist, amp),
+  17 A_tot, 18 WZ_tot, 19 WZ2_tot (residuals for backward), 20:24 pad
+
+Mosaic notes (this jax version): no cumsum/cumprod/reduce_prod lowering
+and no i1 vector loop carries — prefix ops use the Hillis-Steele
+`_scan_lanes` network and flags are f32 0/1.
 """
 
 from __future__ import annotations
@@ -37,13 +42,15 @@ from jax.experimental.pallas import tpu as pltpu
 from gftorf_tpu.render.composite import ALPHA_EPS, ALPHA_MAX, T_STOP
 from gftorf_tpu.render.settings import RasterConfig
 
-CHUNK = 256  # depth-axis chunk size (multiple of 128)
+FWD_CHUNK = 512  # depth-axis chunk size (multiple of 128)
+# Backward keeps ~2x the live (PIX, CL) temporaries; 512 overflows the
+# 16MB scoped-VMEM stack limit on v5e.
+BWD_CHUNK = 256
 
 
 def _scan_lanes(x, op, fill):
     """Inclusive prefix scan along the last (lane) axis via the
-    Hillis-Steele doubling network (Mosaic lowers neither cumsum nor
-    cumprod inside kernels)."""
+    Hillis-Steele doubling network."""
     n = x.shape[-1]
     s = 1
     while s < n:
@@ -65,24 +72,64 @@ def _excl_cumprod(x):
                            axis=-1)
 
 
-
-def _forward_kernel(counts_ref, origins_ref, geo_ref, wfeat_ref, bg_ref,
-                    out_ref, contrib_ref, *, config: RasterConfig, chunk: int):
-    t = pl.program_id(0)
+def _pixel_coords(origins_ref, t, config):
     th, tw = config.tile_h, config.tile_w
     pix = th * tw
-    L = geo_ref.shape[-1]
-    n_chunks = pl.cdiv(L, chunk)
-
-    count = counts_ref[t]
     ox = origins_ref[t, 0].astype(jnp.float32)
     oy = origins_ref[t, 1].astype(jnp.float32)
-
-    # Pixel coordinates, (PIX, 1) column layout.
     pid = jax.lax.broadcasted_iota(jnp.int32, (pix, 1), 0)
     px = ox + (pid % tw).astype(jnp.float32)
     py = oy + (pid // tw).astype(jnp.float32)
     inside = (px < config.width) & (py < config.height)
+    return px, py, inside
+
+
+def _chunk_common(feat_ref, off, chunk, count, px, py, inside, t_run, done):
+    """Shared per-chunk recompute: alpha, masks, transmittance, weights."""
+    blk = jnp.transpose(feat_ref[0, pl.ds(off, chunk), :], (1, 0))  # (24, CL)
+    mean_x, mean_y = blk[0], blk[1]
+    con_a, con_b, con_c = blk[2], blk[3], blk[4]
+    opac, z = blk[5], blk[6]
+    f = blk[8:20]  # (12, CL): rgb, dist, phasor, pad
+    lane = off + jax.lax.broadcasted_iota(jnp.int32, (1, chunk), 1)
+    present = lane < count
+
+    ddx = mean_x[None, :] - px  # (PIX, CL)
+    ddy = mean_y[None, :] - py
+    power = (
+        -0.5 * (con_a[None, :] * ddx * ddx + con_c[None, :] * ddy * ddy)
+        - con_b[None, :] * ddx * ddy
+    )
+    exp_p = jnp.exp(jnp.minimum(power, 0.0))
+    raw = opac[None, :] * exp_p
+    alpha = jnp.minimum(ALPHA_MAX, raw)
+    valid = (power <= 0.0) & (alpha >= ALPHA_EPS) & inside & present
+    a_eff = jnp.where(valid, alpha, 0.0)
+    q = 1.0 - a_eff
+    t_excl = t_run * _excl_cumprod(q)
+    fail = valid & (t_excl * q < T_STOP)
+    done_c = jnp.maximum(
+        done,
+        (_cumsum_lanes(fail.astype(jnp.float32)) > 0.0).astype(jnp.float32),
+    )
+    contribute = valid & (done_c < 0.5)
+    w = jnp.where(contribute, alpha * t_excl, 0.0)
+    w_p = w * t_excl
+    qm = jnp.where(contribute, q, 1.0)
+    t_run_next = t_run * _scan_lanes(qm, jnp.multiply, 1.0)[..., -1:]
+    return (blk, f, z, ddx, ddy, con_a, con_b, con_c, exp_p, raw, alpha, q,
+            t_excl, contribute, w, w_p, done_c, t_run_next)
+
+
+def _forward_kernel(counts_ref, origins_ref, feat_ref, bg_ref,
+                    out_ref, contrib_ref, *, config: RasterConfig,
+                    chunk: int):
+    t = pl.program_id(0)
+    pix = config.tile_pixels
+    L = feat_ref.shape[1]
+    n_chunks = pl.cdiv(L, chunk)
+    count = counts_ref[t]
+    px, py, inside = _pixel_coords(origins_ref, t, config)
 
     contrib_ref[0, 0, :] = jnp.zeros((L,), jnp.float32)
 
@@ -90,37 +137,11 @@ def _forward_kernel(counts_ref, origins_ref, geo_ref, wfeat_ref, bg_ref,
         (c, t_run, done, accum, dd, a_run, wz_run, wz2_run,
          first, has_first) = carry
         off = c * chunk
-        geo = geo_ref[0, :, pl.ds(off, chunk)]  # (8, CL)
-        mean_x, mean_y = geo[0], geo[1]
-        con_a, con_b, con_c = geo[2], geo[3], geo[4]
-        opac, z = geo[5], geo[6]
-
-        ddx = mean_x[None, :] - px  # (PIX, CL)
-        ddy = mean_y[None, :] - py
-        power = (
-            -0.5 * (con_a[None, :] * ddx * ddx + con_c[None, :] * ddy * ddy)
-            - con_b[None, :] * ddx * ddy
+        (blk, f, z, ddx, ddy, _, _, _, _, _, alpha, q, t_excl,
+         contribute, w, w_p, done_c, t_run_next) = _chunk_common(
+            feat_ref, off, chunk, count, px, py, inside, t_run, done
         )
-        alpha = jnp.minimum(
-            ALPHA_MAX, opac[None, :] * jnp.exp(jnp.minimum(power, 0.0))
-        )
-        valid = (power <= 0.0) & (alpha >= ALPHA_EPS) & inside
-        a_eff = jnp.where(valid, alpha, 0.0)
-        q = 1.0 - a_eff
-        t_excl = t_run * _excl_cumprod(q)
-        fail = valid & (t_excl * q < T_STOP)
-        # boolean carries don't legalize in Mosaic loops -> carry f32 flags
-        done_c = jnp.maximum(
-            done, (_cumsum_lanes(fail.astype(jnp.float32)) > 0.0).astype(
-                jnp.float32
-            ),
-        )
-        contribute = valid & (done_c < 0.5)
 
-        w = jnp.where(contribute, alpha * t_excl, 0.0)
-        w_p = w * t_excl
-
-        f = wfeat_ref[0, :, pl.ds(off, chunk)]  # (12, CL)
         sums_w = jax.lax.dot_general(
             w, f, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
@@ -141,10 +162,9 @@ def _forward_kernel(counts_ref, origins_ref, geo_ref, wfeat_ref, bg_ref,
         dd_c = jnp.sum(w * zz * a_ex - 2.0 * wz * wz_ex + w * wz2_ex,
                        axis=-1, keepdims=True)
 
-        # first contributing sample (alpha, dist, phasor amp = f[9]? amp
-        # channel of phasor = wfeat row 4+2=6) per pixel
-        c_i32 = contribute.astype(jnp.int32)
-        onehot = (_cumsum_lanes(c_i32) == 1) & contribute
+        # first contributing sample per pixel (alpha, dist, phasor amp)
+        c_f32 = contribute.astype(jnp.float32)
+        onehot = (_cumsum_lanes(c_f32) == 1.0) & contribute
         oh = onehot.astype(jnp.float32)
         cand = jnp.concatenate(
             [
@@ -153,36 +173,28 @@ def _forward_kernel(counts_ref, origins_ref, geo_ref, wfeat_ref, bg_ref,
                 jnp.sum(oh * f[6][None, :], axis=-1, keepdims=True),
             ],
             axis=-1,
-        )  # (PIX, 3)
-        any_c = jnp.max(contribute.astype(jnp.float32), axis=-1,
-                        keepdims=True)
+        )
+        any_c = jnp.max(c_f32, axis=-1, keepdims=True)
         first = jnp.where(has_first > 0.5, first,
                           jnp.where(any_c > 0.5, cand, first))
         has_first = jnp.maximum(has_first, any_c)
 
-        contrib_ref[0, 0, pl.ds(off, chunk)] = jnp.sum(
-            contribute.astype(jnp.float32), axis=0
-        )
+        contrib_ref[0, 0, pl.ds(off, chunk)] = jnp.sum(c_f32, axis=0)
 
-        # sums_w is valid in cols 0:4 (rgb, dist) and sums_wp in 4:11
-        # (phasor); merge by column range.
         col = jax.lax.broadcasted_iota(jnp.int32, (1, 12), 1)
         new_accum = (
             accum
             + jnp.where(col < 4, sums_w, 0.0)
             + jnp.where((col >= 4) & (col < 11), sums_wp, 0.0)
         )
-
-        qm = jnp.where(contribute, q, 1.0)
-        t_run = t_run * _scan_lanes(qm, jnp.multiply, 1.0)[..., -1:]
-        a_run = a_run + acc_c
-        wz_run = wz_run + jnp.sum(wz, axis=-1, keepdims=True)
-        wz2_run = wz2_run + jnp.sum(wz2, axis=-1, keepdims=True)
-        return (c + 1, t_run, done_c[:, -1:], new_accum, dd + dd_c,
-                a_run, wz_run, wz2_run, first, has_first)
+        return (c + 1, t_run_next, done_c[:, -1:], new_accum, dd + dd_c,
+                a_run + acc_c,
+                wz_run + jnp.sum(wz, axis=-1, keepdims=True),
+                wz2_run + jnp.sum(wz2, axis=-1, keepdims=True),
+                first, has_first)
 
     def cond(carry):
-        c, t_run, done = carry[0], carry[1], carry[2]
+        c, _, done = carry[0], carry[1], carry[2]
         return (c * chunk < count) & (c < n_chunks) & (jnp.min(done) < 0.5)
 
     init = (
@@ -195,7 +207,7 @@ def _forward_kernel(counts_ref, origins_ref, geo_ref, wfeat_ref, bg_ref,
         jnp.zeros((pix, 1), jnp.float32),  # wz_run
         jnp.zeros((pix, 1), jnp.float32),  # wz2_run
         jnp.zeros((pix, 3), jnp.float32),  # first
-        jnp.zeros((pix, 1), jnp.float32),  # has_first (f32)
+        jnp.zeros((pix, 1), jnp.float32),  # has_first
     )
     (_, t_run, _, accum, dd, a_run, wz_run, wz2_run, first, _) = (
         jax.lax.while_loop(cond, body, init)
@@ -204,7 +216,7 @@ def _forward_kernel(counts_ref, origins_ref, geo_ref, wfeat_ref, bg_ref,
     bg = bg_ref[0]  # (PIX, 12)
     color = accum[:, 0:3] + t_run * bg[:, 0:3]
     phasor = accum[:, 4:11] + t_run * bg[:, 4:11]
-    out = jnp.concatenate(
+    out_ref[0] = jnp.concatenate(
         [
             color,  # 0:3
             accum[:, 3:4],  # 3 depth
@@ -213,39 +225,31 @@ def _forward_kernel(counts_ref, origins_ref, geo_ref, wfeat_ref, bg_ref,
             dd,  # 12
             t_run,  # 13 final_T
             first,  # 14:17
-            a_run,  # 17 A_tot (= acc)
+            a_run,  # 17 A_tot
             wz_run,  # 18
             wz2_run,  # 19
-            jnp.zeros((pix, 4), jnp.float32),  # 20:24 pad
+            jnp.zeros((pix, 4), jnp.float32),  # 20:24
         ],
         axis=-1,
     )
-    out_ref[0] = out
 
 
-def _backward_kernel(counts_ref, origins_ref, geo_ref, wfeat_ref, bg_ref,
-                     out_res_ref, g_ref, dgeo_ref, dwfeat_ref, *,
+def _backward_kernel(counts_ref, origins_ref, feat_ref, bg_ref,
+                     out_res_ref, g_ref, dfeat_ref, *,
                      config: RasterConfig, chunk: int):
-    """Gradient of the compositing w.r.t. geo and wfeat blocks.
+    """Gradient w.r.t. the packed feature block.
 
     Single front-to-back pass: suffix sums needed by the alpha chain are
-    total - inclusive prefix, with totals taken from the forward residual
-    block. Mirrors the math of backward.cu:609-889 expressed in prefix
-    form; scatter-adds become per-instance row writes (deterministic).
+    totals-minus-inclusive-prefix, with totals from the forward residual
+    block. Mirrors the math of backward.cu:609-889 in prefix form;
+    atomicAdd scatter becomes per-instance row writes (deterministic).
     """
     t = pl.program_id(0)
-    th, tw = config.tile_h, config.tile_w
-    pix = th * tw
-    L = geo_ref.shape[-1]
+    pix = config.tile_pixels
+    L = feat_ref.shape[1]
     n_chunks = pl.cdiv(L, chunk)
-
     count = counts_ref[t]
-    ox = origins_ref[t, 0].astype(jnp.float32)
-    oy = origins_ref[t, 1].astype(jnp.float32)
-    pid = jax.lax.broadcasted_iota(jnp.int32, (pix, 1), 0)
-    px = ox + (pid % tw).astype(jnp.float32)
-    py = oy + (pid // tw).astype(jnp.float32)
-    inside = (px < config.width) & (py < config.height)
+    px, py, inside = _pixel_coords(origins_ref, t, config)
 
     out = out_res_ref[0]  # (PIX, 24) forward outputs/residuals
     g = g_ref[0]  # (PIX, 24) cotangents
@@ -258,14 +262,12 @@ def _backward_kernel(counts_ref, origins_ref, geo_ref, wfeat_ref, bg_ref,
     g_acc = g[:, 11:12]
     g_dd = g[:, 12:13]
 
-    # Totals of the w/w_p-weighted dot sums (pre-background):
     accum_f = jnp.concatenate(
         [out[:, 0:3] - t_final * bg[:, 0:3], out[:, 3:4]], axis=-1
-    )  # (PIX, 4) rgb+depth
+    )  # (PIX, 4) pre-bg rgb + depth sums
     accum_p = out[:, 4:11] - t_final * bg[:, 4:11]  # (PIX, 7)
     e_tot = (
-        jnp.sum(g[:, 0:4] * accum_f, axis=-1, keepdims=True)
-        + g_acc * a_tot
+        jnp.sum(g[:, 0:4] * accum_f, axis=-1, keepdims=True) + g_acc * a_tot
     )
     ep_tot = jnp.sum(g[:, 4:11] * accum_p, axis=-1, keepdims=True)
     u_dd_tot = g_dd * 2.0 * (a_tot * wz2_tot - wz_tot * wz_tot)
@@ -274,44 +276,17 @@ def _backward_kernel(counts_ref, origins_ref, geo_ref, wfeat_ref, bg_ref,
         + jnp.sum(bg[:, 4:11] * g[:, 4:11], axis=-1, keepdims=True)
     )
 
-    dgeo_ref[0] = jnp.zeros_like(dgeo_ref[0])
-    dwfeat_ref[0] = jnp.zeros_like(dwfeat_ref[0])
+    dfeat_ref[0] = jnp.zeros_like(dfeat_ref[0])
 
     def body(carry):
         c, t_run, done, u_f, u_p, u_dd = carry
         off = c * chunk
-        geo = geo_ref[0, :, pl.ds(off, chunk)]
-        mean_x, mean_y = geo[0], geo[1]
-        con_a, con_b, con_c = geo[2], geo[3], geo[4]
-        opac, z = geo[5], geo[6]
-
-        ddx = mean_x[None, :] - px
-        ddy = mean_y[None, :] - py
-        power = (
-            -0.5 * (con_a[None, :] * ddx * ddx + con_c[None, :] * ddy * ddy)
-            - con_b[None, :] * ddx * ddy
+        (blk, f, z, ddx, ddy, con_a, con_b, con_c, exp_p, raw, alpha, q,
+         t_excl, contribute, w, w_p, done_c, t_run_next) = _chunk_common(
+            feat_ref, off, chunk, count, px, py, inside, t_run, done
         )
-        exp_p = jnp.exp(jnp.minimum(power, 0.0))
-        raw = opac[None, :] * exp_p
-        alpha = jnp.minimum(ALPHA_MAX, raw)
         not_clamped = raw < ALPHA_MAX
-        valid = (power <= 0.0) & (alpha >= ALPHA_EPS) & inside
-        a_eff = jnp.where(valid, alpha, 0.0)
-        q = 1.0 - a_eff
-        t_excl = t_run * _excl_cumprod(q)
-        fail = valid & (t_excl * q < T_STOP)
-        done_c = jnp.maximum(
-            done, (_cumsum_lanes(fail.astype(jnp.float32)) > 0.0).astype(
-                jnp.float32
-            ),
-        )
-        contribute = valid & (done_c < 0.5)
-        w = jnp.where(contribute, alpha * t_excl, 0.0)
-        w_p = w * t_excl
 
-        f = wfeat_ref[0, :, pl.ds(off, chunk)]  # (12, CL)
-
-        # per-(pixel, instance) cotangent dot products
         e = jax.lax.dot_general(
             g[:, 0:4], f[0:4, :], (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
@@ -320,7 +295,8 @@ def _backward_kernel(counts_ref, origins_ref, geo_ref, wfeat_ref, bg_ref,
             g[:, 4:11], f[4:11, :], (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
-        sym = z[None, :] * z[None, :] * a_tot - 2.0 * z[None, :] * wz_tot + wz2_tot
+        sym = (z[None, :] * z[None, :] * a_tot - 2.0 * z[None, :] * wz_tot
+               + wz2_tot)
 
         u_f_incl = u_f + _cumsum_lanes(w * e)
         u_p_incl = u_p + _cumsum_lanes(w_p * e_p)
@@ -345,36 +321,33 @@ def _backward_kernel(counts_ref, origins_ref, geo_ref, wfeat_ref, bg_ref,
         d_con_a = jnp.sum(-0.5 * ddx * ddx * d_power, axis=0)
         d_con_b = jnp.sum(-ddx * ddy * d_power, axis=0)
         d_con_c = jnp.sum(-0.5 * ddy * ddy * d_power, axis=0)
-        d_z = jnp.sum(
-            g_dd * 2.0 * w * (z[None, :] * a_tot - wz_tot), axis=0
-        )
+        d_z = jnp.sum(g_dd * 2.0 * w * (z[None, :] * a_tot - wz_tot), axis=0)
 
-        # per-instance feature grads: contract over pixels
         d_f = jax.lax.dot_general(
             g[:, 0:4], w, (((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
-        )  # (4, CL)
+        )  # (4, CL): rgb + dist grads
         d_p = jax.lax.dot_general(
             g[:, 4:11], w_p, (((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )  # (7, CL)
 
-        dgeo_ref[0, 0, pl.ds(off, chunk)] = d_mean_x
-        dgeo_ref[0, 1, pl.ds(off, chunk)] = d_mean_y
-        dgeo_ref[0, 2, pl.ds(off, chunk)] = d_con_a
-        dgeo_ref[0, 3, pl.ds(off, chunk)] = d_con_b
-        dgeo_ref[0, 4, pl.ds(off, chunk)] = d_con_c
-        dgeo_ref[0, 5, pl.ds(off, chunk)] = d_opac
-        dgeo_ref[0, 6, pl.ds(off, chunk)] = d_z
-        dwfeat_ref[0, 0:4, pl.ds(off, chunk)] = d_f
-        dwfeat_ref[0, 4:11, pl.ds(off, chunk)] = d_p
+        zero_row = jnp.zeros((1, chunk), jnp.float32)
+        d_blk = jnp.concatenate(
+            [
+                d_mean_x[None], d_mean_y[None],
+                d_con_a[None], d_con_b[None], d_con_c[None],
+                d_opac[None], d_z[None], zero_row,
+                d_f,  # 8:12 (rgb, dist)
+                d_p,  # 12:19 (phasor)
+                jnp.zeros((5, chunk), jnp.float32),  # 19:24
+            ],
+            axis=0,
+        )  # (24, CL)
+        dfeat_ref[0, pl.ds(off, chunk), :] = jnp.transpose(d_blk, (1, 0))
 
-        qm = jnp.where(contribute, q, 1.0)
-        t_run = t_run * _scan_lanes(qm, jnp.multiply, 1.0)[..., -1:]
-        return (
-            c + 1, t_run, done_c[:, -1:],
-            u_f_incl[:, -1:], u_p_incl[:, -1:], u_dd_incl[:, -1:],
-        )
+        return (c + 1, t_run_next, done_c[:, -1:],
+                u_f_incl[:, -1:], u_p_incl[:, -1:], u_dd_incl[:, -1:])
 
     def cond(carry):
         c, _, done = carry[0], carry[1], carry[2]
@@ -383,7 +356,7 @@ def _backward_kernel(counts_ref, origins_ref, geo_ref, wfeat_ref, bg_ref,
     init = (
         jnp.int32(0),
         jnp.ones((pix, 1), jnp.float32),
-        jnp.zeros((pix, 1), jnp.float32),  # done flag (f32: Mosaic carry)
+        jnp.zeros((pix, 1), jnp.float32),  # done flag (f32)
         jnp.zeros((pix, 1), jnp.float32),
         jnp.zeros((pix, 1), jnp.float32),
         jnp.zeros((pix, 1), jnp.float32),
@@ -391,108 +364,78 @@ def _backward_kernel(counts_ref, origins_ref, geo_ref, wfeat_ref, bg_ref,
     jax.lax.while_loop(cond, body, init)
 
 
-def composite_backward_pallas(geo, wfeat, bg_tiles, out_res, g, counts,
-                              origins, config: RasterConfig,
-                              interpret: bool = False):
-    T, _, L = geo.shape
-    pix = config.tile_pixels
-    chunk = min(CHUNK, L)
-    kernel = functools.partial(_backward_kernel, config=config, chunk=chunk)
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,
-        grid=(T,),
-        in_specs=[
-            pl.BlockSpec((1, 8, L), lambda t, c_ref, o_ref: (t, 0, 0)),
-            pl.BlockSpec((1, 12, L), lambda t, c_ref, o_ref: (t, 0, 0)),
-            pl.BlockSpec((1, pix, 12), lambda t, c_ref, o_ref: (t, 0, 0)),
-            pl.BlockSpec((1, pix, 24), lambda t, c_ref, o_ref: (t, 0, 0)),
-            pl.BlockSpec((1, pix, 24), lambda t, c_ref, o_ref: (t, 0, 0)),
-        ],
-        out_specs=[
-            pl.BlockSpec((1, 8, L), lambda t, c_ref, o_ref: (t, 0, 0)),
-            pl.BlockSpec((1, 12, L), lambda t, c_ref, o_ref: (t, 0, 0)),
-        ],
-    )
-    dgeo, dwfeat = pl.pallas_call(
-        kernel,
-        grid_spec=grid_spec,
-        out_shape=[
-            jax.ShapeDtypeStruct((T, 8, L), jnp.float32),
-            jax.ShapeDtypeStruct((T, 12, L), jnp.float32),
-        ],
-        interpret=interpret,
-    )(counts, origins, geo, wfeat, bg_tiles, out_res, g)
-    return dgeo, dwfeat
-
-
 class PallasForward(NamedTuple):
     out: jnp.ndarray  # (T, PIX, 24)
     contrib: jnp.ndarray  # (T, L)
 
 
-def pack_inputs(feats, bg_map, config: RasterConfig, tile_origins=None):
-    """TileFeatures + bg -> lane-aligned kernel inputs.
-
-    Returns (geo, wfeat, bg_tiles, counts, origins).
-    """
-    T, L = feats.gauss_id.shape
-    th, tw = config.tile_h, config.tile_w
-    pix = th * tw
-    present = feats.gauss_id >= 0
-    opac = jnp.where(present, feats.opacity, 0.0)
-    geo = jnp.stack(
-        [
-            feats.mean2d[..., 0], feats.mean2d[..., 1],
-            feats.conic[..., 0], feats.conic[..., 1], feats.conic[..., 2],
-            opac, feats.dist_ndc, jnp.zeros_like(opac),
+def composite_forward_pallas(feat_tl, bg_tiles, counts, origins,
+                             config: RasterConfig, interpret: bool = False):
+    T, L, _ = feat_tl.shape
+    pix = config.tile_pixels
+    chunk = min(FWD_CHUNK, L)
+    kernel = functools.partial(_forward_kernel, config=config, chunk=chunk)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(T,),
+        in_specs=[
+            pl.BlockSpec((1, L, 24), lambda t, c_ref, o_ref: (t, 0, 0)),
+            pl.BlockSpec((1, pix, 12), lambda t, c_ref, o_ref: (t, 0, 0)),
         ],
-        axis=1,
-    )  # (T, 8, L)
-    wfeat = jnp.concatenate(
-        [
-            jnp.moveaxis(feats.rgb, -1, 1),  # (T, 3, L)
-            feats.dist[:, None, :],
-            jnp.moveaxis(feats.phasor, -1, 1),  # (T, 7, L)
-            jnp.zeros((T, 1, L), jnp.float32),
+        out_specs=[
+            pl.BlockSpec((1, pix, 24), lambda t, c_ref, o_ref: (t, 0, 0)),
+            pl.BlockSpec((1, 1, L), lambda t, c_ref, o_ref: (t, 0, 0)),
         ],
-        axis=1,
-    )  # (T, 12, L)
-
-    if tile_origins is None:
-        gw = config.grid_w
-        tid = jnp.arange(T, dtype=jnp.int32)
-        tile_origins = jnp.stack([(tid % gw) * tw, (tid // gw) * th], -1)
-    origins = tile_origins.astype(jnp.int32)
-
-    # bg tiles (T, PIX, 12): cols 0:3 color bg, 4:11 phasor bg
-    bg_h, bg_w = bg_map.shape[1], bg_map.shape[2]
-    gw_l = -(-bg_w // tw)
-    gh_l = T // gw_l
-    bg_p = jnp.pad(
-        bg_map, ((0, 0), (0, gh_l * th - bg_h), (0, gw_l * tw - bg_w))
     )
-    bgt = (
-        bg_p.reshape(7, gh_l, th, gw_l, tw)
-        .transpose(1, 3, 2, 4, 0)
-        .reshape(T, pix, 7)
-    )
-    bg_tiles = jnp.concatenate(
-        [bgt[..., :3], jnp.zeros((T, pix, 1)), bgt, jnp.zeros((T, pix, 1))],
-        axis=-1,
-    )  # (T, PIX, 12)
+    out, contrib = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((T, pix, 24), jnp.float32),
+            jax.ShapeDtypeStruct((T, 1, L), jnp.float32),
+        ],
+        interpret=interpret,
+    )(counts, origins, feat_tl, bg_tiles)
+    return PallasForward(out=out, contrib=contrib[:, 0, :])
 
-    # count = last present index + 1 (instances are front-packed)
-    counts = jnp.sum(present, axis=-1).astype(jnp.int32)
-    return geo, wfeat, bg_tiles, counts, origins
+
+def composite_backward_pallas(feat_tl, bg_tiles, out_res, g, counts,
+                              origins, config: RasterConfig,
+                              interpret: bool = False):
+    T, L, _ = feat_tl.shape
+    pix = config.tile_pixels
+    chunk = min(BWD_CHUNK, L)
+    kernel = functools.partial(_backward_kernel, config=config, chunk=chunk)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(T,),
+        in_specs=[
+            pl.BlockSpec((1, L, 24), lambda t, c_ref, o_ref: (t, 0, 0)),
+            pl.BlockSpec((1, pix, 12), lambda t, c_ref, o_ref: (t, 0, 0)),
+            pl.BlockSpec((1, pix, 24), lambda t, c_ref, o_ref: (t, 0, 0)),
+            pl.BlockSpec((1, pix, 24), lambda t, c_ref, o_ref: (t, 0, 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, L, 24), lambda t, c_ref, o_ref: (t, 0, 0)),
+        ],
+    )
+    (dfeat,) = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=[jax.ShapeDtypeStruct((T, L, 24), jnp.float32)],
+        interpret=interpret,
+    )(counts, origins, feat_tl, bg_tiles, out_res, g)
+    return dfeat
+
+
+# ---------------------------------------------------------------------------
+# Packing & the custom-vjp wrapper
 
 
 def pack_gaussian_features(pre) -> jnp.ndarray:
     """PreprocessOutputs -> one (P, 24) feature matrix so the tile layout
     needs a single instance gather (random gathers cost ~5 ms per million
-    rows on v5e; eight separate ones dominate the frame otherwise).
-
-    Columns 0:8 = geo rows, 8:20 = wfeat rows (see module docstring).
-    """
+    rows on v5e; eight separate ones dominate the frame otherwise)."""
     P = pre.mean2d.shape[0]
     pad1 = jnp.zeros((P, 1), jnp.float32)
     return jnp.concatenate(
@@ -512,24 +455,9 @@ def pack_gaussian_features(pre) -> jnp.ndarray:
     )
 
 
-def composite_packed_pallas(packed_tl, gauss_id, bg_map,
-                            config: RasterConfig, tile_origins=None,
-                            interpret: bool = False):
-    """Composite from a gathered (T, 24, L) packed feature block."""
-    T, _, L = packed_tl.shape
+def _bg_to_tiles(bg_map, T, config: RasterConfig):
     th, tw = config.tile_h, config.tile_w
     pix = th * tw
-    present = gauss_id >= 0
-    geo = packed_tl[:, 0:8]
-    geo = geo.at[:, 5].set(jnp.where(present, geo[:, 5], 0.0))
-    wfeat = packed_tl[:, 8:20]
-
-    if tile_origins is None:
-        gw = config.grid_w
-        tid = jnp.arange(T, dtype=jnp.int32)
-        tile_origins = jnp.stack([(tid % gw) * tw, (tid // gw) * th], -1)
-    origins = tile_origins.astype(jnp.int32)
-
     bg_h, bg_w = bg_map.shape[1], bg_map.shape[2]
     gw_l = -(-bg_w // tw)
     gh_l = T // gw_l
@@ -541,74 +469,107 @@ def composite_packed_pallas(packed_tl, gauss_id, bg_map,
         .transpose(1, 3, 2, 4, 0)
         .reshape(T, pix, 7)
     )
-    bg_tiles = jnp.concatenate(
+    return jnp.concatenate(
         [bgt[..., :3], jnp.zeros((T, pix, 1)), bgt, jnp.zeros((T, pix, 1))],
         axis=-1,
-    )
-    counts = jnp.sum(present, axis=-1).astype(jnp.int32)
-    return _run_pallas_vjp(geo, wfeat, bg_tiles, counts, origins, config,
-                           interpret)
+    )  # (T, PIX, 12)
 
 
-def _run_pallas_vjp(geo, wfeat, bg_tiles, counts, origins,
+def _default_origins(T, config: RasterConfig):
+    gw = config.grid_w
+    tid = jnp.arange(T, dtype=jnp.int32)
+    return jnp.stack(
+        [(tid % gw) * config.tile_w, (tid // gw) * config.tile_h], -1
+    ).astype(jnp.int32)
+
+
+def _run_pallas_vjp(feat_tl, bg_tiles, counts, origins,
                     config: RasterConfig, interpret: bool):
-
     @jax.custom_vjp
-    def run(geo, wfeat, bg_tiles):
+    def run(feat_tl, bg_tiles):
         return composite_forward_pallas(
-            geo, wfeat, bg_tiles, counts, origins, config, interpret
+            feat_tl, bg_tiles, counts, origins, config, interpret
         )
 
-    def run_fwd(geo, wfeat, bg_tiles):
+    def run_fwd(feat_tl, bg_tiles):
         fwd = composite_forward_pallas(
-            geo, wfeat, bg_tiles, counts, origins, config, interpret
+            feat_tl, bg_tiles, counts, origins, config, interpret
         )
-        return fwd, (geo, wfeat, bg_tiles, fwd.out)
+        return fwd, (feat_tl, bg_tiles, fwd.out)
 
     def run_bwd(res, ct):
-        geo, wfeat, bg_tiles, out = res
-        g = ct.out  # cotangent of the packed output block
-        dgeo, dwfeat = composite_backward_pallas(
-            geo, wfeat, bg_tiles, out, g, counts, origins, config, interpret
+        feat_tl, bg_tiles, out = res
+        g = ct.out
+        dfeat = composite_backward_pallas(
+            feat_tl, bg_tiles, out, g, counts, origins, config, interpret
         )
-        # Background receives final_T * g on its color/phasor columns.
         t_final = out[..., 13:14]
         dbg = jnp.zeros_like(bg_tiles)
         dbg = dbg.at[..., 0:3].set(t_final * g[..., 0:3])
         dbg = dbg.at[..., 4:11].set(t_final * g[..., 4:11])
-        return dgeo, dwfeat, dbg
+        return dfeat, dbg
 
     run.defvjp(run_fwd, run_bwd)
-    fwd = run(geo, wfeat, bg_tiles)
-    # Stop gradients through the non-differentiable outputs so stray
-    # cotangents don't reach the kernel (it ignores those columns anyway).
+    fwd = run(feat_tl, bg_tiles)
+    # Stop gradients through the non-differentiable output columns.
     fwd = PallasForward(
-        out=fwd.out.at[..., 13:].set(
-            jax.lax.stop_gradient(fwd.out[..., 13:])
-        ),
+        out=fwd.out.at[..., 13:].set(jax.lax.stop_gradient(fwd.out[..., 13:])),
         contrib=jax.lax.stop_gradient(fwd.contrib),
     )
     return unpack_outputs(fwd, config)
 
 
-def composite_tiles_pallas(feats, bg_map, config: RasterConfig,
-                           tile_origins=None, interpret: bool = False):
-    """Drop-in replacement for composite_tiles using the Pallas kernels.
+def composite_packed_pallas(packed_tl, gauss_id, bg_map,
+                            config: RasterConfig, tile_origins=None,
+                            interpret: bool = False):
+    """Composite from a gathered (T, L, 24) packed feature block.
 
-    Differentiable via custom_vjp: the kernel pair is the fwd/bwd; the
-    pack/unpack reshapes stay in XLA so cotangents map back onto the
-    TileFeatures leaves (and through the instance gather to per-Gaussian
-    arrays) automatically.
+    The layout is front-packed per tile, so padding is handled purely by
+    the per-tile count — no masking of the gathered garbage rows needed.
     """
-    geo, wfeat, bg_tiles, counts, origins = pack_inputs(
-        feats, bg_map, config, tile_origins
+    T, L, _ = packed_tl.shape
+    counts = jnp.sum(gauss_id >= 0, axis=-1).astype(jnp.int32)
+    origins = (
+        tile_origins.astype(jnp.int32)
+        if tile_origins is not None
+        else _default_origins(T, config)
     )
-    return _run_pallas_vjp(geo, wfeat, bg_tiles, counts, origins, config,
+    bg_tiles = _bg_to_tiles(bg_map, T, config)
+    return _run_pallas_vjp(packed_tl, bg_tiles, counts, origins, config,
                            interpret)
 
 
+def composite_tiles_pallas(feats, bg_map, config: RasterConfig,
+                           tile_origins=None, interpret: bool = False):
+    """Drop-in replacement for composite_tiles from TileFeatures.
+
+    Builds the packed (T, L, 24) block from the separate feature arrays
+    (tests and the sharded path use this); the packing concatenation is
+    XLA, so cotangents map back onto the TileFeatures leaves.
+    """
+    T, L = feats.gauss_id.shape
+    zeros = jnp.zeros((T, L, 1), jnp.float32)
+    packed_tl = jnp.concatenate(
+        [
+            feats.mean2d,
+            feats.conic,
+            feats.opacity[..., None],
+            feats.dist_ndc[..., None],
+            zeros,
+            feats.rgb,
+            feats.dist[..., None],
+            feats.phasor,
+            zeros,
+            jnp.zeros((T, L, 4), jnp.float32),
+        ],
+        axis=-1,
+    )
+    return composite_packed_pallas(packed_tl, feats.gauss_id, bg_map, config,
+                                   tile_origins, interpret)
+
+
 def unpack_outputs(fwd: PallasForward, config: RasterConfig):
-    """Kernel output block -> TileOutputs(-compatible) tuple."""
+    """Kernel output block -> TileOutputs."""
     from gftorf_tpu.render.composite import TileOutputs
 
     o = fwd.out
@@ -621,41 +582,3 @@ def unpack_outputs(fwd: PallasForward, config: RasterConfig):
         distribution=o[..., 14:17],
         contrib_pixels=fwd.contrib,
     )
-
-
-def composite_forward_pallas(
-    geo: jnp.ndarray,  # (T, 8, L)
-    wfeat: jnp.ndarray,  # (T, 12, L)
-    bg_tiles: jnp.ndarray,  # (T, PIX, 12)
-    counts: jnp.ndarray,  # (T,) int32
-    origins: jnp.ndarray,  # (T, 2) int32
-    config: RasterConfig,
-    interpret: bool = False,
-) -> PallasForward:
-    T, _, L = geo.shape
-    pix = config.tile_pixels
-    chunk = min(CHUNK, L)
-    kernel = functools.partial(_forward_kernel, config=config, chunk=chunk)
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,
-        grid=(T,),
-        in_specs=[
-            pl.BlockSpec((1, 8, L), lambda t, c_ref, o_ref: (t, 0, 0)),
-            pl.BlockSpec((1, 12, L), lambda t, c_ref, o_ref: (t, 0, 0)),
-            pl.BlockSpec((1, pix, 12), lambda t, c_ref, o_ref: (t, 0, 0)),
-        ],
-        out_specs=[
-            pl.BlockSpec((1, pix, 24), lambda t, c_ref, o_ref: (t, 0, 0)),
-            pl.BlockSpec((1, 1, L), lambda t, c_ref, o_ref: (t, 0, 0)),
-        ],
-    )
-    out, contrib = pl.pallas_call(
-        kernel,
-        grid_spec=grid_spec,
-        out_shape=[
-            jax.ShapeDtypeStruct((T, pix, 24), jnp.float32),
-            jax.ShapeDtypeStruct((T, 1, L), jnp.float32),
-        ],
-        interpret=interpret,
-    )(counts, origins, geo, wfeat, bg_tiles)
-    return PallasForward(out=out, contrib=contrib[:, 0, :])

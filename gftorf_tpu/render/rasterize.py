@@ -73,11 +73,11 @@ def rasterize(
         )
 
         # Single instance gather of one packed feature matrix (random
-        # gathers are the expensive primitive on TPU).
+        # gathers are the expensive primitive on TPU); the kernel consumes
+        # the gather-order (T, L, 24) layout directly.
         packed = pack_gaussian_features(pre)  # (P, 24)
-        gathered = jnp.take(packed, idc.reshape(-1), axis=0)
         T, L = ids.shape
-        packed_tl = jnp.moveaxis(gathered.reshape(T, L, 24), -1, 1)
+        packed_tl = jnp.take(packed, idc.reshape(-1), axis=0).reshape(T, L, 24)
         out = composite_packed_pallas(packed_tl, ids, bg_map, config)
     else:
         feats = TileFeatures(

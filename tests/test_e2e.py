@@ -120,6 +120,24 @@ class TestTrainerFToRF:
             rtol=1e-6,
         )
 
+    def test_torf_training(self, torf_dir, tmp_path):
+        # Static ToRF pipeline: phasor supervision (real/imag channels),
+        # no quads, all-dynamic regions (BASELINE config 3 analog).
+        cfg = base_cfg(
+            torf_dir, str(tmp_path / "model_torf"), total_num_views=4,
+            use_quad=False, dynamic=False, lambda_color=0.5,
+            iterations=60, warm_up=1000,
+        )
+        trainer = Trainer(cfg)
+        assert trainer.scene.scene_type == "torf"
+        assert trainer.render_regions == ("dynamic",)
+        first, last = [], []
+        for i in range(60):
+            out = trainer.step()
+            assert np.isfinite(out["loss"])
+            (first if i < 10 else last).append(out["l1_p"])
+        assert np.mean(last[-10:]) < np.mean(first)
+
     def test_checkpoint_roundtrip(self, ftorf_dir, tmp_path):
         cfg = base_cfg(ftorf_dir, str(tmp_path / "model2"), iterations=10)
         tr = Trainer(cfg)

@@ -9,11 +9,7 @@ import pytest
 from gftorf_tpu.data.synthetic import make_scene
 from gftorf_tpu.render.binning import bin_gaussians
 from gftorf_tpu.render.composite import TileFeatures, composite_tiles
-from gftorf_tpu.render.pallas_composite import (
-    composite_forward_pallas,
-    pack_inputs,
-    unpack_outputs,
-)
+from gftorf_tpu.render.pallas_composite import composite_tiles_pallas
 from gftorf_tpu.render.preprocess import preprocess
 
 
@@ -49,10 +45,7 @@ def build_tile_data(seed=0, num_points=200, width=64, height=48,
 def test_pallas_forward_matches_xla(seed):
     sc, feats, bg = build_tile_data(seed=seed)
     ref = composite_tiles(feats, bg, sc.config)
-    geo, wfeat, bg_tiles, counts, origins = pack_inputs(feats, bg, sc.config)
-    fwd = composite_forward_pallas(geo, wfeat, bg_tiles, counts, origins,
-                                   sc.config, interpret=True)
-    out = unpack_outputs(fwd, sc.config)
+    out = composite_tiles_pallas(feats, bg, sc.config, interpret=True)
     np.testing.assert_allclose(out.color, ref.color, atol=2e-5, rtol=1e-4)
     np.testing.assert_allclose(out.phasor, ref.phasor, atol=2e-5, rtol=1e-4)
     np.testing.assert_allclose(out.depth, ref.depth, atol=1e-4, rtol=1e-4)
@@ -64,8 +57,6 @@ def test_pallas_forward_matches_xla(seed):
 
 
 def test_pallas_backward_matches_xla():
-    from gftorf_tpu.render.pallas_composite import composite_tiles_pallas
-
     sc, feats, bg = build_tile_data(seed=2, num_points=150)
 
     def loss(compositor):
@@ -102,9 +93,6 @@ def test_pallas_dense_overlap():
     sc, feats, bg = build_tile_data(seed=1, num_points=400,
                                     max_per_tile=1024)
     ref = composite_tiles(feats, bg, sc.config)
-    geo, wfeat, bg_tiles, counts, origins = pack_inputs(feats, bg, sc.config)
-    fwd = composite_forward_pallas(geo, wfeat, bg_tiles, counts, origins,
-                                   sc.config, interpret=True)
-    out = unpack_outputs(fwd, sc.config)
+    out = composite_tiles_pallas(feats, bg, sc.config, interpret=True)
     np.testing.assert_allclose(out.color, ref.color, atol=5e-5, rtol=1e-3)
     np.testing.assert_array_equal(out.contrib_pixels, ref.contrib_pixels)

@@ -35,6 +35,10 @@ def build_parser() -> argparse.ArgumentParser:
     parser.add_argument("--platform", type=str, default=None,
                         help="force a jax platform (tpu/cpu); the TPU "
                              "plugin overrides JAX_PLATFORMS, this wins")
+    parser.add_argument("--profile_steps", type=int, nargs=2, default=None,
+                        metavar=("START", "END"),
+                        help="capture a jax.profiler trace between these "
+                             "iterations (written to model_path/profile)")
     parser.add_argument("--test_iterations", nargs="+", type=int, default=None)
     parser.add_argument("--save_iterations", nargs="+", type=int, default=None)
     parser.add_argument("--checkpoint_iterations", nargs="+", type=int,
@@ -71,7 +75,7 @@ def main(argv=None):
         jax.config.update("jax_platforms", args.platform)
     overrides = {k: v for k, v in vars(args).items()
                  if k not in ("config", "quiet", "start_checkpoint",
-                              "platform")
+                              "platform", "profile_steps")
                  and v is not None}
     cfg = Config.from_json(args.config, overrides)
 
@@ -97,9 +101,22 @@ def main(argv=None):
     t_start = time.time()
     log_path = os.path.join(cfg.model.model_path, "train_log.jsonl")
     log_f = open(log_path, "a")
+    profile_range = args.profile_steps
     while trainer.iteration < iterations:
+        if profile_range and trainer.iteration + 1 == profile_range[0]:
+            import jax
+
+            jax.profiler.start_trace(
+                os.path.join(cfg.model.model_path, "profile")
+            )
         out = trainer.step()
         it = out["iteration"]
+        if profile_range and it == profile_range[1]:
+            import jax
+
+            jax.profiler.stop_trace()
+            print(f"profiler trace written to "
+                  f"{cfg.model.model_path}/profile", flush=True)
         if it % 50 == 0 or it == 1:
             log_f.write(json.dumps(out) + "\n")
             log_f.flush()
