@@ -183,3 +183,72 @@ def _next_pow2(n: int) -> int:
     while p < n:
         p *= 2
     return p
+
+
+def camera_to_json(idx: int, cam: CameraRecord, full: bool = False) -> dict:
+    """Serialized camera entry (utils/camera_utils.py:87-154)."""
+    w2c = np.zeros((4, 4))
+    w2c[:3, :3] = cam.R.T
+    w2c[:3, 3] = cam.T
+    w2c[3, 3] = 1.0
+    c2w = np.linalg.inv(w2c)
+    entry = {
+        "id": idx,
+        "img_name": f"{cam.frame_id:04d}",
+        "width": cam.width,
+        "height": cam.height,
+        "position": c2w[:3, 3].tolist(),
+        "rotation": [r.tolist() for r in c2w[:3, :3]],
+        "fx": float(cam.fx),
+        "fy": float(cam.fy),
+    }
+    if full:
+        w2c_t = np.zeros((4, 4))
+        w2c_t[:3, :3] = cam.R_tof.T
+        w2c_t[:3, 3] = cam.T_tof
+        w2c_t[3, 3] = 1.0
+        c2w_t = np.linalg.inv(w2c_t)
+        entry.update({
+            "frame_id": cam.frame_id,
+            "cx": float(cam.cx), "cy": float(cam.cy),
+            "tof_width": cam.tof_width, "tof_height": cam.tof_height,
+            "position_tof": c2w_t[:3, 3].tolist(),
+            "rotation_tof": [r.tolist() for r in c2w_t[:3, :3]],
+            "fx_tof": float(cam.fx_tof), "fy_tof": float(cam.fy_tof),
+            "cx_tof": float(cam.cx_tof), "cy_tof": float(cam.cy_tof),
+            "znear": float(cam.znear), "zfar": float(cam.zfar),
+            "depth_range": float(cam.depth_range),
+            "phase_offset": float(cam.phase_offset),
+            "dc_offset": float(cam.dc_offset),
+        })
+    return entry
+
+
+def write_scene_metadata(scene: "Scene", model_path: str) -> None:
+    """cameras.json / cameras_full.json / nerf_normalization.json + the
+    SIBR-style cfg_args line (scene/__init__.py:63-83, train.py:496-498)."""
+    os.makedirs(model_path, exist_ok=True)
+    cams = scene.data.train_cameras
+    with open(os.path.join(model_path, "cameras.json"), "w") as f:
+        json.dump([camera_to_json(i, c) for i, c in enumerate(cams)], f)
+    with open(os.path.join(model_path, "cameras_full.json"), "w") as f:
+        json.dump([camera_to_json(i, c, full=True) for i, c in enumerate(cams)],
+                  f)
+    centers = np.stack(
+        [-(c.R @ c.T) for c in cams], 0
+    )
+    center = centers.mean(0)
+    radius = float(np.max(np.linalg.norm(centers - center, axis=-1))) * 1.1
+    with open(os.path.join(model_path, "nerf_normalization.json"), "w") as f:
+        json.dump({
+            "translate": (-center).tolist(),
+            "radius": radius if radius > 0 else 1.0,
+            "scene_scale": scene.scene_extent,
+            "tof_permutation": list(scene.tof_permutation),
+            "tof_inverse_permutation": list(scene.tof_inverse_permutation),
+        }, f)
+    m = scene.cfg.model
+    with open(os.path.join(model_path, "cfg_args"), "w") as f:
+        f.write("Namespace(" + ", ".join(
+            f"{k}={v!r}" for k, v in sorted(vars(m).items())
+        ) + ")")

@@ -48,6 +48,18 @@ FWD_CHUNK = 512  # depth-axis chunk size (multiple of 128)
 BWD_CHUNK = 256
 
 
+def _pick_chunk(L: int, pref: int) -> int:
+    """Largest 128-multiple chunk <= pref that divides L (the in-kernel
+    dynamic slice must stay in bounds: a chunk that doesn't divide L
+    reads past the block on the last iteration)."""
+    c = min(pref, L)
+    while c > 128 and L % c != 0:
+        c -= 128
+    if L % c != 0:
+        raise ValueError(f"max_per_tile={L} must be a multiple of 128")
+    return c
+
+
 def _scan_lanes(x, op, fill):
     """Inclusive prefix scan along the last (lane) axis via the
     Hillis-Steele doubling network."""
@@ -373,7 +385,7 @@ def composite_forward_pallas(feat_tl, bg_tiles, counts, origins,
                              config: RasterConfig, interpret: bool = False):
     T, L, _ = feat_tl.shape
     pix = config.tile_pixels
-    chunk = min(FWD_CHUNK, L)
+    chunk = _pick_chunk(L, FWD_CHUNK)
     kernel = functools.partial(_forward_kernel, config=config, chunk=chunk)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
@@ -404,7 +416,7 @@ def composite_backward_pallas(feat_tl, bg_tiles, out_res, g, counts,
                               interpret: bool = False):
     T, L, _ = feat_tl.shape
     pix = config.tile_pixels
-    chunk = min(BWD_CHUNK, L)
+    chunk = _pick_chunk(L, BWD_CHUNK)
     kernel = functools.partial(_backward_kernel, config=config, chunk=chunk)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
@@ -483,22 +495,26 @@ def _default_origins(T, config: RasterConfig):
     ).astype(jnp.int32)
 
 
-def _run_pallas_vjp(feat_tl, bg_tiles, counts, origins,
-                    config: RasterConfig, interpret: bool):
+def _make_pallas_vjp(config: RasterConfig, interpret: bool):
+    """custom_vjp over (feat, bg, counts, origins): no closed-over tracers
+    (closures over traced values break under lax.cond + grad); the int
+    inputs get float0 cotangents."""
+    import numpy as np
+
     @jax.custom_vjp
-    def run(feat_tl, bg_tiles):
+    def run(feat_tl, bg_tiles, counts, origins):
         return composite_forward_pallas(
             feat_tl, bg_tiles, counts, origins, config, interpret
         )
 
-    def run_fwd(feat_tl, bg_tiles):
+    def run_fwd(feat_tl, bg_tiles, counts, origins):
         fwd = composite_forward_pallas(
             feat_tl, bg_tiles, counts, origins, config, interpret
         )
-        return fwd, (feat_tl, bg_tiles, fwd.out)
+        return fwd, (feat_tl, bg_tiles, counts, origins, fwd.out)
 
     def run_bwd(res, ct):
-        feat_tl, bg_tiles, out = res
+        feat_tl, bg_tiles, counts, origins, out = res
         g = ct.out
         dfeat = composite_backward_pallas(
             feat_tl, bg_tiles, out, g, counts, origins, config, interpret
@@ -507,10 +523,20 @@ def _run_pallas_vjp(feat_tl, bg_tiles, counts, origins,
         dbg = jnp.zeros_like(bg_tiles)
         dbg = dbg.at[..., 0:3].set(t_final * g[..., 0:3])
         dbg = dbg.at[..., 4:11].set(t_final * g[..., 4:11])
-        return dfeat, dbg
+        return (
+            dfeat, dbg,
+            np.zeros(counts.shape, jax.dtypes.float0),
+            np.zeros(origins.shape, jax.dtypes.float0),
+        )
 
     run.defvjp(run_fwd, run_bwd)
-    fwd = run(feat_tl, bg_tiles)
+    return run
+
+
+def _run_pallas_vjp(feat_tl, bg_tiles, counts, origins,
+                    config: RasterConfig, interpret: bool):
+    run = _make_pallas_vjp(config, interpret)
+    fwd = run(feat_tl, bg_tiles, counts, origins)
     # Stop gradients through the non-differentiable output columns.
     fwd = PallasForward(
         out=fwd.out.at[..., 13:].set(jax.lax.stop_gradient(fwd.out[..., 13:])),

@@ -87,6 +87,13 @@ class RasterConfig:
     # Use the Pallas compositing kernel when available.
     use_pallas: bool = True
 
+    def __post_init__(self):
+        # The Pallas kernels chunk the depth axis in 128-lane multiples
+        # and slice blocks of max_per_tile; keep it lane-aligned.
+        aligned = -(-self.max_per_tile // 128) * 128
+        if aligned != self.max_per_tile:
+            object.__setattr__(self, "max_per_tile", aligned)
+
     @property
     def grid_w(self) -> int:
         return -(-self.width // self.tile_w)

@@ -70,6 +70,14 @@ class Trainer:
         np.random.seed(m.seed)
         self.key = jax.random.PRNGKey(m.seed)
 
+        if m.model_path:
+            from gftorf_tpu.data.scene import write_scene_metadata
+
+            try:
+                write_scene_metadata(self.scene, m.model_path)
+            except OSError:
+                pass
+
         self.model = self.scene.model_state
         self.deform_cfg = DeformConfig(
             depth=m.D, width=m.W, xyz_multires=m.xyz_multires,
