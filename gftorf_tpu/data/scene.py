@@ -147,6 +147,15 @@ class Scene:
         c0 = self.data.train_cameras[0]
         self.color_size = (c0.height, c0.width)
         self.tof_size = (c0.tof_height, c0.tof_width)
+        # Identical color/ToF cameras (F-ToRF) -> one rasterization per
+        # step serves both outputs.
+        self.cameras_identical = all(
+            np.allclose(c.R, c.R_tof) and np.allclose(c.T, c.T_tof)
+            and (c.fx, c.fy, c.cx, c.cy) == (c.fx_tof, c.fy_tof, c.cx_tof,
+                                             c.cy_tof)
+            and (c.width, c.height) == (c.tof_width, c.tof_height)
+            for c in self.data.train_cameras
+        )
 
         self.model_state: Optional[GaussianModelState] = None
         if init_model:

@@ -57,16 +57,20 @@ def eval_frame(static: StepStatic, params, deform_params, alive,
         params.dc_offset[0] if static.optimize_dc_offset else frame.dc_offset
     )
 
-    out_color = rasterize(
-        means3d, scales, rots, opac_inc, shs, shs_p, phase_offset, dc_offset,
-        zeros2d, bg_c, camera=frame.cam_color, config=static.config_color,
-        active_sh_degree=static.active_sh_degree,
-    )
     out_tof = rasterize(
         means3d, scales, rots, opac_inc, shs, shs_p, phase_offset, dc_offset,
         zeros2d, bg_t, camera=frame.cam_tof, config=static.config_tof,
         active_sh_degree=static.active_sh_degree,
     )
+    if static.single_camera:
+        out_color = out_tof
+    else:
+        out_color = rasterize(
+            means3d, scales, rots, opac_inc, shs, shs_p, phase_offset,
+            dc_offset, zeros2d, bg_c, camera=frame.cam_color,
+            config=static.config_color,
+            active_sh_degree=static.active_sh_degree,
+        )
 
     metrics = {}
     metrics["l1_color"] = L.l1_loss(out_color.color, frame.gt_image)

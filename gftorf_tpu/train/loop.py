@@ -142,6 +142,7 @@ class Trainer:
             tof_permutation=self.scene.tof_permutation,
             tof_inverse_permutation=self.scene.tof_inverse_permutation,
             scene_extent=self.scene.scene_extent,
+            single_camera=self.scene.cameras_identical,
         )
 
     def _pick_camera(self) -> int:

@@ -123,6 +123,10 @@ class StepStatic:
     tof_permutation: Tuple[int, ...] = (0, 1, 2, 3)
     tof_inverse_permutation: Tuple[int, ...] = (0, 1, 2, 3)
     scene_extent: float = 1.0
+    # F-ToRF has identical color/ToF cameras (identity extrinsics, same
+    # intrinsics); one rasterization already produces both the color and
+    # phasor outputs, so the second pass is pure waste.
+    single_camera: bool = False
 
 
 def _query_deform(static: StepStatic, deform_params, params, fid):
@@ -265,18 +269,21 @@ def train_step(
         )
         dc_offset = p.dc_offset[0] if static.optimize_dc_offset else dc_off_cam
 
-        out_color = rasterize(
-            means3d, scales, rots, opac_inc, shs, shs_p,
-            phase_offset, dc_offset, means2d_zero, bg_color_map,
-            camera=frame.cam_color, config=static.config_color,
-            active_sh_degree=static.active_sh_degree,
-        )
         out_tof = rasterize(
             means3d, scales, rots, opac_inc, shs, shs_p,
             phase_offset, dc_offset, means2d_zero, bg_tof,
             camera=frame.cam_tof, config=static.config_tof,
             active_sh_degree=static.active_sh_degree,
         )
+        if static.single_camera:
+            out_color = out_tof
+        else:
+            out_color = rasterize(
+                means3d, scales, rots, opac_inc, shs, shs_p,
+                phase_offset, dc_offset, means2d_zero, bg_color_map,
+                camera=frame.cam_color, config=static.config_color,
+                active_sh_degree=static.active_sh_degree,
+            )
         return out_color, out_tof, (d_xyz, d_rot, d_curr, d_next, include, opac_inc)
 
     def loss_fn(p: GaussianParams, dfp: DeformParams, means2d_zero):

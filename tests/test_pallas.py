@@ -89,6 +89,26 @@ def test_pallas_backward_matches_xla():
         np.testing.assert_allclose(b, a, atol=2e-4, rtol=1e-3, err_msg=n)
 
 
+def test_chunk_divisibility():
+    # Regression: L=768 isn't divisible by the 512 preferred chunk; the
+    # last dynamic slice must not read past the block (OOB VMEM -> NaNs
+    # on real TPUs). Also RasterConfig rounds L to a 128-multiple.
+    from gftorf_tpu.render.pallas_composite import _pick_chunk
+    from gftorf_tpu.render.settings import RasterConfig
+
+    assert _pick_chunk(768, 512) == 384
+    assert _pick_chunk(1024, 512) == 512
+    assert _pick_chunk(256, 512) == 256
+    assert RasterConfig(height=32, width=32, max_per_tile=700).max_per_tile == 768
+
+    sc, feats, bg = build_tile_data(seed=5, num_points=250, max_per_tile=768)
+    assert feats.gauss_id.shape[1] == 768
+    ref = composite_tiles(feats, bg, sc.config)
+    out = composite_tiles_pallas(feats, bg, sc.config, interpret=True)
+    np.testing.assert_allclose(out.color, ref.color, atol=5e-5, rtol=1e-3)
+    assert np.isfinite(np.asarray(out.color)).all()
+
+
 def test_pallas_dense_overlap():
     sc, feats, bg = build_tile_data(seed=1, num_points=400,
                                     max_per_tile=1024)
