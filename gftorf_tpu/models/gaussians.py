@@ -79,8 +79,10 @@ def get_scaling(params: GaussianParams) -> jnp.ndarray:
 
 
 def get_rotation(params: GaussianParams) -> jnp.ndarray:
-    n = jnp.linalg.norm(params.rotation, axis=-1, keepdims=True)
-    return params.rotation / jnp.maximum(n, 1e-12)
+    # rsqrt(sum+eps): zero-quaternion rows (dead capacity slots) must have
+    # a zero — not NaN — gradient through the normalization.
+    q = params.rotation
+    return q * jax.lax.rsqrt(jnp.sum(q * q, axis=-1, keepdims=True) + 1e-20)
 
 
 def get_opacity(params: GaussianParams) -> jnp.ndarray:

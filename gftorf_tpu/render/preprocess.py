@@ -145,10 +145,14 @@ def preprocess(
     tiles_touched = jnp.where(valid, tiles_touched, 0)
     rect = jnp.stack([x0, y0, x1, y1], axis=-1)
 
-    # --- View direction for SH
+    # --- View direction for SH. rsqrt(sum+eps) keeps the gradient exactly
+    # zero at the origin: dead/padded slots sit at xyz=0 with the camera
+    # possibly at the origin too, and d|x|/dx at 0 is NaN otherwise —
+    # which poisons Adam state the moment SH degree > 0 activates this
+    # path.
     dir_raw = means3d - camera.campos
-    dir_n = dir_raw / jnp.maximum(
-        jnp.linalg.norm(dir_raw, axis=-1, keepdims=True), 1e-12
+    dir_n = dir_raw * jax.lax.rsqrt(
+        jnp.sum(dir_raw * dir_raw, axis=-1, keepdims=True) + 1e-20
     )
 
     # --- Color (forward.cu:344-359)

@@ -462,7 +462,19 @@ def train_step(
         aux, g_means2d, out_tof.radii, out_tof.pixels[:, 0], apply_mask
     )
 
-    # --- Optimizers (train.py:467-474)
+    # --- Optimizers (train.py:467-474). Dead capacity slots must receive
+    # exactly-zero gradients (belt to the safe-normalize suspenders: any
+    # NaN there would poison Adam moments and, via the deform MLP's
+    # full-capacity input, the whole model).
+    def mask_dead(g):
+        if g.ndim >= 1 and g.shape[0] == n_points:
+            return jnp.where(
+                aux.alive.reshape((n_points,) + (1,) * (g.ndim - 1)),
+                g, jnp.zeros_like(g),
+            )
+        return g
+
+    g_params = jax.tree.map(mask_dead, g_params)
     lrs_eff = jax.tree.map(lambda lr: lr * gauss_step_scale, lrs)
     new_params, new_adam = adam_update(params, g_params, adam, lrs_eff)
 
