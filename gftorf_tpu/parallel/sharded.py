@@ -55,17 +55,6 @@ def _pad_to_multiple(x, m, axis=0):
     return jnp.pad(x, widths)
 
 
-@dataclasses.dataclass(frozen=True)
-class ShardedConfig:
-    base: RasterConfig
-    num_shards: int
-
-    @property
-    def rows_per_shard(self) -> int:
-        # grid rows padded to a multiple of num_shards
-        return -(-self.base.grid_h // self.num_shards)
-
-
 def rasterize_sharded(
     means3d, scales, rotations, opacities, shs, shs_p,
     phase_offset, dc_offset, means2d_ndc, bg_map,
