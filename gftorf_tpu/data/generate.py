@@ -49,11 +49,13 @@ def make_gt_gaussians(key, num_static=384, num_dynamic=128, depth_range=15.0):
     shs_p = shs_p.at[:, 0, 1].set(
         jax.random.uniform(ks[7], (n,), minval=1.0, maxval=2.5)
     )
-    # Motion: the dynamic cluster oscillates along +x.
+    # Motion: the dynamic cluster oscillates. Keep amplitudes moderate
+    # relative to the scene (~9 units deep): violent motion makes the
+    # deformation optimization bistable on any backend.
     dyn_mask = jnp.arange(n) >= num_static
     velocity = jnp.where(
         dyn_mask[:, None],
-        jnp.array([[1.2, 0.25, 0.6]]) * jnp.ones((n, 3)),
+        jnp.array([[0.3, 0.08, 0.15]]) * jnp.ones((n, 3)),
         jnp.zeros((n, 3)),
     )
     return dict(xyz=xyz, scales=scales, quat=quat, opac=opac, shs=shs,
