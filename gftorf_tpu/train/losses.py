@@ -80,29 +80,38 @@ def psnr(pred, gt):
 
 
 @functools.cache
-def _gaussian_window(window_size: int = 11, sigma: float = 1.5) -> np.ndarray:
+def _gaussian_1d(window_size: int = 11, sigma: float = 1.5) -> np.ndarray:
     g = np.exp(
         -((np.arange(window_size) - window_size // 2) ** 2) / (2.0 * sigma**2)
     )
-    g = (g / g.sum()).astype(np.float32)
-    return np.outer(g, g)
+    return (g / g.sum()).astype(np.float32)
 
 
 def ssim(img1, img2, window_size: int = 11):
-    """Mean SSIM over a (C, H, W) image pair."""
-    w = jnp.asarray(_gaussian_window(window_size))
+    """Mean SSIM over a (C, H, W) image pair.
+
+    The Gaussian window is separable; two 1-D depthwise convolutions
+    replace the 11x11 one (the 2-D depthwise conv lowers pathologically
+    on TPU: ~100 ms fwd+bwd at 240x320 vs ~2 ms separable).
+    """
+    w1 = jnp.asarray(_gaussian_1d(window_size))
     c = img1.shape[0]
-    kernel = jnp.broadcast_to(w[None, None], (c, 1, window_size, window_size))
+    kh = jnp.broadcast_to(w1[None, None, :, None], (c, 1, window_size, 1))
+    kw = jnp.broadcast_to(w1[None, None, None, :], (c, 1, 1, window_size))
+    pad = window_size // 2
 
     def conv(x):
-        return jax.lax.conv_general_dilated(
-            x[None],  # (1, C, H, W)
-            kernel,
-            window_strides=(1, 1),
-            padding=[(window_size // 2, window_size // 2)] * 2,
+        y = jax.lax.conv_general_dilated(
+            x[None], kh, (1, 1), [(pad, pad), (0, 0)],
             feature_group_count=c,
             precision=jax.lax.Precision.HIGHEST,
-        )[0]
+        )
+        y = jax.lax.conv_general_dilated(
+            y, kw, (1, 1), [(0, 0), (pad, pad)],
+            feature_group_count=c,
+            precision=jax.lax.Precision.HIGHEST,
+        )
+        return y[0]
 
     mu1, mu2 = conv(img1), conv(img2)
     mu1_sq, mu2_sq, mu1_mu2 = mu1 * mu1, mu2 * mu2, mu1 * mu2
