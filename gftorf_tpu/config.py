@@ -168,10 +168,14 @@ class TpuParams:
     """TPU-framework-specific knobs (no reference counterpart)."""
 
     max_per_tile: int = 1024
+    # Hard ceiling for automatic max_per_tile growth on tile overflow.
+    max_per_tile_limit: int = 16384
     dup_factor: int = 12
     tile_chunk: int = 64
     capacity: int = 0  # 0 -> auto: next power-of-two >= 2*num_points
     capacity_growth: float = 1.5
+    # Steps to lag metric fetches behind dispatch (0 = synchronous).
+    metrics_lag: int = 1
     mesh_shards: int = 1  # devices for tile/primitive sharding
     mesh_data: int = 1  # devices for camera data-parallelism
     use_pallas: bool = True

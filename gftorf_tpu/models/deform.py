@@ -126,7 +126,10 @@ def apply_deform(params: DeformParams, config: DeformConfig,
             jnp.matmul(h, params.hidden_w[i], precision="highest")
             + params.hidden_b[i]
         )
-        if i == config.skip:
+        # the concat feeds layer skip+1 (init sizes it width+in_dim);
+        # when skip is the last layer (tiny test depths) there is no
+        # consumer and the heads take plain width
+        if i == config.skip and i + 1 < config.depth:
             h = jnp.concatenate([x_emb, t_emb, h], axis=-1)
 
     def run_head(name):

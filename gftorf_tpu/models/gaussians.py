@@ -226,9 +226,18 @@ def adam_update(
     b1: float = 0.9,
     b2: float = 0.999,
     eps: float = 1e-15,
+    on=None,
 ):
-    """One Adam step with per-leaf (possibly array) learning rates."""
-    step = adam.step + 1
+    """One Adam step with per-leaf (possibly array) learning rates.
+
+    ``on`` (optional traced scalar): when 0 the step is *skipped* entirely
+    — params, moments and the step counter all pass through unchanged,
+    matching the reference's conditional ``optimizer.step()``
+    (train.py:469-472). An lr of 0 would NOT be equivalent: it still
+    decays that iteration's gradients into mu/nu and advances the shared
+    bias-correction counter.
+    """
+    step = adam.step + (1 if on is None else (on > 0).astype(jnp.int32))
     bc1 = 1.0 - b1 ** step.astype(jnp.float32)
     bc2 = 1.0 - b2 ** step.astype(jnp.float32)
 
@@ -238,6 +247,12 @@ def adam_update(
         lambda p, m, v, lr: p - lr / bc1 * m / (jnp.sqrt(v) / jnp.sqrt(bc2) + eps),
         params, new_m, new_v, lrs,
     )
+    if on is not None:
+        live = on > 0
+        pick = lambda new, old: jnp.where(live, new, old)
+        new_p = jax.tree.map(pick, new_p, params)
+        new_m = jax.tree.map(pick, new_m, adam.mu)
+        new_v = jax.tree.map(pick, new_v, adam.nu)
     return new_p, AdamState(mu=new_m, nu=new_v, step=step)
 
 

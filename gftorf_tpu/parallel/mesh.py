@@ -16,10 +16,19 @@ mesh; multi-host runs call jax.distributed.initialize before this.
 
 from __future__ import annotations
 
+import functools
+
 import numpy as np
 
 import jax
 from jax.sharding import Mesh
+
+
+@functools.lru_cache(maxsize=8)
+def cached_mesh(data: int, shard: int) -> Mesh:
+    """Process-wide mesh cache so jitted steps can build a mesh during
+    trace without re-enumerating devices each call."""
+    return make_mesh(data=data, shard=shard)
 
 
 def make_mesh(data: int = 1, shard: int = -1, devices=None) -> Mesh:

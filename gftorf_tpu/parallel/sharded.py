@@ -62,6 +62,8 @@ def rasterize_sharded(
     axis_name: str = "shard",
     active_sh_degree: int = 3,
     alive: Optional[jnp.ndarray] = None,
+    colors_precomp: Optional[jnp.ndarray] = None,
+    phasors_precomp: Optional[jnp.ndarray] = None,
 ):
     """Rasterize inside a shard_map context over `axis_name`.
 
@@ -88,6 +90,8 @@ def rasterize_sharded(
         slice_rows(shs_p) if shs_p is not None else None,
         phase_offset, dc_offset, slice_rows(means2d_ndc),
         camera, config, active_sh_degree,
+        slice_rows(colors_precomp) if colors_precomp is not None else None,
+        slice_rows(phasors_precomp) if phasors_precomp is not None else None,
     )
     if alive is not None:
         pre_local = pre_local._replace(

@@ -9,6 +9,7 @@ the tof_iters lambda flip, eval reports, and checkpoints.
 
 from __future__ import annotations
 
+import dataclasses
 import functools
 import json
 import os
@@ -21,7 +22,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from gftorf_tpu.config import Config
-from gftorf_tpu.data.scene import Scene, take_frame
+from gftorf_tpu.data.scene import Scene
 from gftorf_tpu.models.deform import DeformConfig, init_deform
 from gftorf_tpu.models.gaussians import (
     AdamState,
@@ -32,11 +33,9 @@ from gftorf_tpu.models.gaussians import (
     reset_opacity,
     prune_only,
 )
-from gftorf_tpu.train import losses as L
-from gftorf_tpu.train.schedule import build_gaussian_lrs, deform_lr_at
 from gftorf_tpu.train.step import (
-    FrameData,
-    LossWeights,
+    METRIC_NAMES,
+    SchedStatic,
     StepStatic,
     train_step,
 )
@@ -92,6 +91,36 @@ class Trainer:
         self.viewpoint_stack: list = []
         self.ema_loss = 0.0
         self.history: list = []
+        # Metric pipeline: steps are dispatched without waiting for their
+        # results; metrics are fetched ``metrics_lag`` steps later so the
+        # host never serializes on the device (through the TPU tunnel a
+        # synchronous per-iter fetch costs a full round trip). Records
+        # keep the pre-step state (immutable array refs, no copies) so a
+        # tile-overflow can deterministically roll back and replay.
+        self.metrics_lag = max(0, getattr(cfg.tpu, "metrics_lag", 1))
+        self._pending: list = []
+        self._last_resolve_t = time.perf_counter()
+        self.tile_cap = cfg.tpu.max_per_tile
+        self.tile_cap_limit = max(self.tile_cap,
+                                  getattr(cfg.tpu, "max_per_tile_limit", 16384))
+
+        # Device mesh: (data, shard) from TpuParams. data batches cameras
+        # (DP, grads averaged), shard splits each render + the deform MLP
+        # (parallel/sharded.py). Densify/prune stay host-driven on the
+        # replicated state, so nothing else changes.
+        data_ax = max(1, cfg.tpu.mesh_data)
+        shard_ax = max(1, cfg.tpu.mesh_shards)
+        if data_ax * shard_ax > 1:
+            n_dev = len(jax.devices())
+            if data_ax * shard_ax > n_dev:
+                raise ValueError(
+                    f"mesh_data*mesh_shards={data_ax * shard_ax} exceeds "
+                    f"available devices ({n_dev})"
+                )
+            self.mesh_shape = (data_ax, shard_ax)
+        else:
+            self.mesh_shape = None
+        self.data_ax = data_ax
 
         if self.scene.scene_type == "torf":
             self.render_regions = ("dynamic",)
@@ -101,6 +130,12 @@ class Trainer:
             self.render_regions = ("static", "dynamic")
 
     # ------------------------------------------------------------------
+    def _raster_config(self, tof: bool):
+        cfg = self.scene.raster_config(tof, self.cfg.model.sh_degree)
+        if cfg.max_per_tile != self.tile_cap:
+            cfg = dataclasses.replace(cfg, max_per_tile=self.tile_cap)
+        return cfg
+
     def _static_for(self, iteration: int) -> StepStatic:
         m, opt = self.cfg.model, self.opt
         dynamic_on = m.dynamic and iteration > opt.warm_up
@@ -109,8 +144,8 @@ class Trainer:
             regions = ("static", "dynamic")
         return StepStatic(
             scene_type=self.scene.scene_type,
-            config_color=self.scene.raster_config(False, m.sh_degree),
-            config_tof=self.scene.raster_config(True, m.sh_degree),
+            config_color=self._raster_config(False),
+            config_tof=self._raster_config(True),
             deform=self.deform_cfg,
             active_sh_degree=self.active_sh_degree,
             total_num_views=m.total_num_views,
@@ -143,6 +178,11 @@ class Trainer:
             tof_inverse_permutation=self.scene.tof_inverse_permutation,
             scene_extent=self.scene.scene_extent,
             single_camera=self.scene.cameras_identical,
+            deform_sync=iteration <= opt.optimize_sync_iters,
+            frozen_gauss=iteration >= opt.densify_until_iter,
+            sched=SchedStatic.from_opt(opt, self.lambda_color,
+                                       self.opacity_reset_interval),
+            mesh_shape=self.mesh_shape,
         )
 
     def _pick_camera(self) -> int:
@@ -158,7 +198,98 @@ class Trainer:
                 return idx
 
     # ------------------------------------------------------------------
-    def step(self) -> dict:
+    def _dispatch(self, it: int, idx: int, static: StepStatic) -> dict:
+        """Dispatch one step and record it in the pending pipeline."""
+        prev = (self.model, self.deform, self.deform_adam)
+        self.model, self.deform, self.deform_adam, packed = train_step(
+            static, self.model, self.deform, self.deform_adam,
+            self.scene.train_frames, idx, it, self.key,
+        )
+        try:
+            packed.copy_to_host_async()
+        except AttributeError:
+            pass
+        rec = {"it": it, "idx": idx, "static": static, "packed": packed,
+               "prev": prev}
+        self._pending.append(rec)
+        return rec
+
+    def _resolve_one(self) -> dict:
+        """Fetch the oldest pending record's metrics; react to overflow."""
+        rec = self._pending.pop(0)
+        vals = np.asarray(rec["packed"])
+        metrics = dict(zip(METRIC_NAMES, [float(v) for v in vals]))
+
+        if metrics["tile_overflow"] > 0 and self.tile_cap < self.tile_cap_limit:
+            metrics = self._grow_and_replay(rec)
+
+        loss = metrics["loss"]
+        self.ema_loss = 0.4 * loss + 0.6 * self.ema_loss
+        now = time.perf_counter()
+        out = {
+            "iteration": rec["it"],
+            "loss": loss,
+            "l1_p": metrics["l1_p"],
+            "ema_loss": self.ema_loss,
+            "iter_time": now - self._last_resolve_t,
+            "num_points": int(metrics["num_points"]),
+            "visible": int(metrics["visible"]),
+            "dup_overflow": bool(metrics["dup_overflow"]),
+            "tile_overflow": int(metrics["tile_overflow"]),
+        }
+        self._last_resolve_t = now
+        self.history.append(out)
+        return out
+
+    def _grow_and_replay(self, rec: dict) -> dict:
+        """Tile-depth overflow: the compositor truncated the deepest
+        instances in some tile (the reference is exact at any depth,
+        forward.cu:424-676). Grow max_per_tile and deterministically
+        replay from the pre-step state — same (it, idx, key) sequence.
+        """
+        replay = [rec] + self._pending
+        self._pending = []
+        metrics = None
+        while True:
+            self.tile_cap = min(self.tile_cap * 2, self.tile_cap_limit)
+            print(f"[iter {rec['it']}] tile overflow "
+                  f"(dropped {int(np.asarray(rec['packed'])[METRIC_NAMES.index('tile_overflow')])}"
+                  f" instances) -> max_per_tile={self.tile_cap}, replaying",
+                  flush=True)
+            self.model, self.deform, self.deform_adam = rec["prev"]
+            for r in replay:
+                static = dataclasses.replace(
+                    r["static"],
+                    config_color=dataclasses.replace(
+                        r["static"].config_color,
+                        max_per_tile=self.tile_cap),
+                    config_tof=dataclasses.replace(
+                        r["static"].config_tof,
+                        max_per_tile=self.tile_cap),
+                )
+                self._dispatch(r["it"], r["idx"], static)
+            rec = self._pending.pop(0)
+            replay = [rec] + self._pending
+            self._pending = []
+            vals = np.asarray(rec["packed"])
+            metrics = dict(zip(METRIC_NAMES, [float(v) for v in vals]))
+            if metrics["tile_overflow"] <= 0 or self.tile_cap >= self.tile_cap_limit:
+                self._pending = replay[1:]
+                break
+        return metrics
+
+    def drain(self) -> list:
+        """Resolve every pending step (call before host-side events that
+        read metrics or mutate model state)."""
+        outs = []
+        while self._pending:
+            outs.append(self._resolve_one())
+        return outs
+
+    def step(self) -> list:
+        """Advance one iteration; returns the list of *resolved* metric
+        records (possibly empty while the pipeline fills, several at a
+        drain point). Records carry their own 'iteration' key."""
         self.iteration += 1
         it = self.iteration
         m, opt = self.cfg.model, self.opt
@@ -167,73 +298,39 @@ class Trainer:
             self.active_sh_degree += 1
 
         static = self._static_for(it)
-        idx = self._pick_camera()
-        frame = take_frame(self.scene.train_frames, idx)
+        if self.data_ax > 1:
+            idx = np.array(
+                [self._pick_camera() for _ in range(self.data_ax)], np.int32
+            )
+        else:
+            idx = self._pick_camera()
+        self._dispatch(it, idx, static)
 
-        weights = LossWeights(
-            color=jnp.float32(self.lambda_color),
-            tof=jnp.float32(opt.lambda_tof),
-            dssim=jnp.float32(opt.lambda_dssim),
-            depth=jnp.float32(opt.lambda_depth),
-            dd=jnp.float32(opt.lambda_dd),
-            flow=jnp.float32(opt.lambda_flow),
-            oe=jnp.float32(opt.lambda_oe),
-            scale=jnp.float32(opt.lambda_scale),
-            mlp_reg=jnp.float32(opt.lambda_mlp_reg),
-        )
-        lrs = jax.tree.map(
-            jnp.float32,
-            build_gaussian_lrs(opt, it, self.scene.scene_extent, m.sh_degree,
-                               m.isotropic_gaussians),
-        )
-        gauss_scale = 1.0 if it < opt.densify_until_iter else 0.0
-        deform_scale = (
-            1.0
-            if (it % self.opacity_reset_interval > 200
-                or it >= opt.densify_until_iter)
-            else 0.0
-        )
-
-        t0 = time.perf_counter()
-        self.model, self.deform, self.deform_adam, metrics = train_step(
-            static, self.model, self.deform, self.deform_adam, frame,
-            jax.random.fold_in(self.key, it), weights, lrs,
-            jnp.float32(deform_lr_at(opt, it)),
-            jnp.float32(gauss_scale), jnp.float32(deform_scale),
-        )
-        loss = float(metrics["loss"])
-        iter_time = time.perf_counter() - t0
-        self.ema_loss = 0.4 * loss + 0.6 * self.ema_loss
-
-        # --- Densification (train.py:441-464)
+        outs = []
+        # --- Densification (train.py:441-464) — host-side events must see
+        # replay-corrected state, so drain the pipeline first.
         if it < opt.densify_until_iter:
             if it > opt.densify_from_iter and it % opt.densification_interval == 0:
+                outs += self.drain()
                 size_thr = 10.0 if it > self.opacity_reset_interval else 0.0
                 self._densify(size_thr)
             if it % self.opacity_reset_interval == 0:
+                outs += self.drain()
                 self._reset_opacity()
         elif (self.opt.use_opacity_entropy_loss
               and it % opt.densification_interval == 0):
+            outs += self.drain()
             self.model = prune_only(self.model, opt.min_opacity)
 
         # tof_iters event (train.py:476-478)
         if it == opt.tof_iters:
+            outs += self.drain()
             self.lambda_color = 1.0
             self.opacity_reset_interval = int(self.opacity_reset_interval / 2)
 
-        out = {
-            "iteration": it,
-            "loss": loss,
-            "l1_p": float(metrics["l1_p"]) if "l1_p" in metrics else None,
-            "ema_loss": self.ema_loss,
-            "iter_time": iter_time,
-            "num_points": int(jnp.sum(self.model.aux.alive)),
-            "visible": int(metrics["visible"]),
-            "dup_overflow": bool(metrics["dup_overflow"]),
-            "tile_overflow": int(metrics["tile_overflow"]),
-        }
-        self.history.append(out)
-        return out
+        while len(self._pending) > self.metrics_lag:
+            outs.append(self._resolve_one())
+        return outs
 
     def _densify(self, size_thr: float):
         opt = self.opt

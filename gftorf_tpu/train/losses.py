@@ -41,37 +41,6 @@ def weighted_l2_loss_quad(pred, gt, w):
     return jnp.mean(jnp.square((pred - gt) / weight))
 
 
-def find_knn(xyz, k):
-    """Indices of the k nearest neighbors (loss_utils.py:35-44).
-
-    Present-but-unused in the reference training loop; kept for API
-    parity with the rigidity/isometry regularizers below.
-    """
-    d = jnp.sum((xyz[:, None, :] - xyz[None, :, :]) ** 2, axis=-1)
-    _, idx = jax.lax.top_k(-d, k + 1)
-    return idx[:, 1:]
-
-
-def rigidity_loss(w_ij, prev_xyz, curr_xyz, knn_idx):
-    """Local rigidity regularizer (loss_utils.py:46-60)."""
-    curr_n = curr_xyz[knn_idx]
-    prev_n = prev_xyz[knn_idx]
-    curr_r = curr_xyz[:, None, :]
-    prev_r = prev_xyz[:, None, :]
-    d = jnp.sqrt(
-        jnp.sum(((prev_r - prev_n) - (curr_r - curr_n)) ** 2, axis=-1) + 1e-16
-    )
-    return jnp.mean(w_ij * d)
-
-
-def isometry_loss(w_ij, initial_sq_dist, curr_xyz, knn_idx):
-    """Global isometry regularizer (loss_utils.py:62-72)."""
-    curr_n = curr_xyz[knn_idx]
-    curr_r = curr_xyz[:, None, :]
-    d = jnp.sqrt(jnp.sum((curr_r - curr_n) ** 2, axis=-1) + 1e-16)
-    return jnp.mean(jnp.abs(w_ij * (jnp.sqrt(initial_sq_dist + 1e-16) - d)))
-
-
 def psnr(pred, gt):
     """Per-image PSNR (image_utils.py:17-19): mean over pixels per channel
     row in the torch version reduces over everything here for scalars."""

@@ -13,8 +13,9 @@ Cross-reference map:
  - static/dynamic composition: gaussian_renderer/__init__.py:81-105
  - loss assembly: train.py:201-277
  - optimizer gymnastics (freeze after densify_until_iter, deform pause
-   after opacity resets): train.py:467-474 — expressed here as lr
-   multipliers computed host-side.
+   after opacity resets): train.py:467-474 — the freeze is a static
+   branch (the post-freeze program skips the per-Gaussian backward);
+   the pause is a traced step-skip (moments and counter untouched).
 """
 
 from __future__ import annotations
@@ -25,6 +26,8 @@ from typing import NamedTuple, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
+from jax import shard_map
+from jax.sharding import PartitionSpec as P
 
 from gftorf_tpu.models.deform import (
     DeformConfig,
@@ -52,6 +55,8 @@ from gftorf_tpu.ops.flow import (
     project_points,
 )
 from gftorf_tpu.ops.tof import depth_from_tof
+from gftorf_tpu.parallel.mesh import cached_mesh
+from gftorf_tpu.parallel.sharded import rasterize_sharded
 from gftorf_tpu.render.rasterize import rasterize
 from gftorf_tpu.render.settings import CameraSpec, RasterConfig
 from gftorf_tpu.train import losses as L
@@ -77,18 +82,152 @@ class FrameData(NamedTuple):
     intrinsics_color: jnp.ndarray  # (3, 3) K color
 
 
-class LossWeights(NamedTuple):
-    """Traced per-iteration loss weights (lambda_color flips at tof_iters)."""
+# Fixed metric layout of the packed per-step metrics vector (unused
+# entries are zero so the layout never depends on the static config).
+METRIC_NAMES = (
+    "loss", "l1_color", "l1_p", "flow_l2", "num_rendered", "dup_overflow",
+    "tile_overflow", "visible", "num_points",
+)
 
-    color: jnp.ndarray
-    tof: jnp.ndarray
-    dssim: jnp.ndarray
-    depth: jnp.ndarray
-    dd: jnp.ndarray
-    flow: jnp.ndarray
-    oe: jnp.ndarray
-    scale: jnp.ndarray
-    mlp_reg: jnp.ndarray
+
+class LossWeights(NamedTuple):
+    """Per-iteration loss weights (lambda_color flips at tof_iters)."""
+
+    color: float
+    tof: float
+    dssim: float
+    depth: float
+    dd: float
+    flow: float
+    oe: float
+    scale: float
+    mlp_reg: float
+
+
+class SchedStatic(NamedTuple):
+    """Static schedule constants folded into the step program.
+
+    Learning rates, loss lambdas and optimizer gating are deterministic
+    functions of the iteration counter; computing them *inside* jit from
+    a single traced ``it`` scalar removes ~20 host->device transfers per
+    step (each a multi-ms round trip through the TPU tunnel). Mirrors
+    get_expon_lr_func (utils/general_utils.py:41-75) + training_setup
+    (gaussian_model.py:247-313) + the loss lambdas of train.py:201-277.
+
+    ``lambda_color`` / ``opacity_reset_interval`` hold their *current*
+    values (they change once, at tof_iters — one extra recompile).
+    """
+
+    position_lr_init: float = 0.00016
+    position_lr_final: float = 0.0000016
+    position_lr_max_steps: int = 30000
+    feature_lr: float = 0.0025
+    feature_phase_lr_init: float = 0.0001
+    feature_phase_lr_final: float = 0.000001
+    feature_amp_lr_init: float = 0.0001
+    feature_amp_lr_final: float = 0.0001
+    opacity_lr: float = 0.05
+    scaling_lr: float = 0.005
+    rotation_lr: float = 0.001
+    phase_offset_lr: float = 0.0
+    dc_offset_lr: float = 0.0
+    optimize_offset_start: int = 0
+    deform_lr_init: float = 0.00016
+    deform_lr_final: float = 0.0000016
+    warm_up: int = 3000
+    weights: LossWeights = LossWeights(1.0, 1.0, 0.2, 0.0, 0.0, 0.0,
+                                       0.0, 0.0, 0.0)
+    opacity_reset_interval: int = 3000
+    densify_until_iter: int = 15000
+
+    @staticmethod
+    def from_opt(opt, lambda_color: float,
+                 opacity_reset_interval: int) -> "SchedStatic":
+        """Build from an OptimizationParams + the host-tracked mutables."""
+        return SchedStatic(
+            position_lr_init=opt.position_lr_init,
+            position_lr_final=opt.position_lr_final,
+            position_lr_max_steps=opt.position_lr_max_steps,
+            feature_lr=opt.feature_lr,
+            feature_phase_lr_init=opt.feature_phase_lr_init,
+            feature_phase_lr_final=opt.feature_phase_lr_final,
+            feature_amp_lr_init=opt.feature_amp_lr_init,
+            feature_amp_lr_final=opt.feature_amp_lr_final,
+            opacity_lr=opt.opacity_lr,
+            scaling_lr=opt.scaling_lr,
+            rotation_lr=opt.rotation_lr,
+            phase_offset_lr=opt.phase_offset_lr,
+            dc_offset_lr=opt.dc_offset_lr,
+            optimize_offset_start=opt.optimize_offset_start,
+            deform_lr_init=opt.deform_lr_init,
+            deform_lr_final=opt.deform_lr_final,
+            warm_up=opt.warm_up,
+            weights=LossWeights(
+                color=lambda_color, tof=opt.lambda_tof,
+                dssim=opt.lambda_dssim, depth=opt.lambda_depth,
+                dd=opt.lambda_dd, flow=opt.lambda_flow, oe=opt.lambda_oe,
+                scale=opt.lambda_scale, mlp_reg=opt.lambda_mlp_reg,
+            ),
+            opacity_reset_interval=opacity_reset_interval,
+            densify_until_iter=opt.densify_until_iter,
+        )
+
+
+def _expon_lr(it_f, lr_init: float, lr_final: float, max_steps: int):
+    """In-jit log-lerp schedule (general_utils.py:41-75, delay_steps=0)."""
+    import math
+
+    if lr_init == 0.0 and lr_final == 0.0:
+        return jnp.float32(0.0)
+    ms = max_steps if max_steps != 0 else 1
+    t = jnp.clip(it_f / ms, 0.0, 1.0)
+    log_lerp = jnp.exp(
+        math.log(max(lr_init, 1e-38)) * (1.0 - t)
+        + math.log(max(lr_final, 1e-38)) * t
+    )
+    return jnp.where(it_f < 0, 0.0, log_lerp)
+
+
+def _gaussian_lrs_at(static: "StepStatic", it) -> GaussianParams:
+    """Per-leaf lrs as a GaussianParams pytree (training_setup /
+    update_learning_rate, gaussian_model.py:247-313)."""
+    s = static.sched
+    ext = static.scene_extent
+    it_f = jnp.float32(it)
+    xyz_lr = _expon_lr(it_f, s.position_lr_init * ext,
+                       s.position_lr_final * ext, s.position_lr_max_steps)
+    phase_lr = _expon_lr(it_f, s.feature_phase_lr_init * ext,
+                         s.feature_phase_lr_final * ext,
+                         s.position_lr_max_steps)
+    amp_lr = _expon_lr(it_f, s.feature_amp_lr_init * ext * ext,
+                       s.feature_amp_lr_final, s.position_lr_max_steps)
+    m = (static.config_color.sh_degree + 1) ** 2
+    color_lr = jnp.full((m, 1), s.feature_lr / 20.0,
+                        jnp.float32).at[0, 0].set(s.feature_lr)
+    off_on = it > s.optimize_offset_start
+    return GaussianParams(
+        xyz=xyz_lr,
+        sh_color=color_lr,
+        sh_phase=phase_lr,
+        sh_amp=amp_lr,
+        scaling=jnp.float32(s.scaling_lr),
+        rotation=jnp.float32(
+            0.0 if static.deform.isotropic else s.rotation_lr
+        ),
+        opacity=jnp.float32(s.opacity_lr),
+        seg_color=jnp.float32(0.0),
+        phase_offset=jnp.where(off_on, s.phase_offset_lr, 0.0),
+        dc_offset=jnp.where(off_on, s.dc_offset_lr, 0.0),
+    )
+
+
+def _deform_lr_at(static: "StepStatic", it):
+    """Deform schedule stepped with (it - warm_up) (train.py:147)."""
+    s = static.sched
+    return _expon_lr(
+        jnp.float32(it - s.warm_up), s.deform_lr_init, s.deform_lr_final,
+        s.position_lr_max_steps - s.warm_up,
+    )
 
 
 @dataclasses.dataclass(frozen=True)
@@ -127,9 +266,80 @@ class StepStatic:
     # intrinsics); one rasterization already produces both the color and
     # phasor outputs, so the second pass is pure waste.
     single_camera: bool = False
+    # Deform-time sync window (train.py:168: `fid % 4 == 0 or iteration <=
+    # opt.optimize_sync_iters`): unlike the quad-loss sync branch this one
+    # is NOT gated on use_quad/warm_up.
+    deform_sync: bool = False
+    # iteration >= densify_until_iter: the reference never calls
+    # gaussians.optimizer.step() again (train.py:469-470) and stops
+    # densification stats (train.py:441). Static so XLA drops the whole
+    # per-Gaussian backward + Adam from the post-freeze program.
+    frozen_gauss: bool = False
+    # Schedule constants (lrs, lambdas, pause windows) evaluated in-jit.
+    sched: SchedStatic = SchedStatic()
+    # Device mesh (data, shard) for multi-chip training; None or 1x1 =
+    # single device. 'data' batches training cameras (DP — grads averaged
+    # across slices), 'shard' splits each render's primitives + tile rows
+    # (TP/SP analog, parallel/sharded.py) and row-shards the deform MLP.
+    mesh_shape: Optional[Tuple[int, int]] = None
 
 
-def _query_deform(static: StepStatic, deform_params, params, fid):
+class StepAux(NamedTuple):
+    """Small per-camera outputs carried out of the loss computation (the
+    full rendered images stay internal to the grad program)."""
+
+    metrics: dict  # name -> () f32
+    radii: jnp.ndarray  # (P,) int32 tof-camera screen radii
+    pixels: jnp.ndarray  # (P,) touched-pixel counts
+    num_rendered: jnp.ndarray  # () int32
+    dup_overflow: jnp.ndarray  # () bool
+    tile_overflow: jnp.ndarray  # () int32
+
+
+def _sharded_render(axis_name: str):
+    """rasterize()-shaped wrapper over the multi-device rasterizer (must
+    be called inside a shard_map context over `axis_name`)."""
+
+    def render(means3d, scales, rotations, opacities, shs, shs_p,
+               phase_offset, dc_offset, means2d_ndc, bg_map, *,
+               camera, config, active_sh_degree=3, colors_precomp=None):
+        return rasterize_sharded(
+            means3d, scales, rotations, opacities, shs, shs_p,
+            phase_offset, dc_offset, means2d_ndc, bg_map,
+            camera=camera, config=config, axis_name=axis_name,
+            active_sh_degree=active_sh_degree, colors_precomp=colors_precomp,
+        )
+
+    return render
+
+
+def _apply_deform_rows(deform_params, config, xyz_n, t, shard_axis):
+    """Deform MLP over the primitive rows, optionally split across the
+    shard axis (each device evaluates N/n rows, results all-gathered;
+    the gather's transpose psums the MLP gradient contributions)."""
+    if shard_axis is None:
+        return apply_deform(deform_params, config, xyz_n, t)
+    n = xyz_n.shape[0]
+    n_dev = jax.lax.axis_size(shard_axis)
+    per = -(-n // n_dev)
+    start = jax.lax.axis_index(shard_axis) * per
+
+    def slice_rows(x):
+        pad = per * n_dev - x.shape[0]
+        xp = jnp.pad(x, ((0, pad),) + ((0, 0),) * (x.ndim - 1))
+        return jax.lax.dynamic_slice_in_dim(xp, start, per, axis=0)
+
+    d_local = apply_deform(
+        deform_params, config, slice_rows(xyz_n), slice_rows(t)
+    )
+    return jax.tree.map(
+        lambda x: jax.lax.all_gather(x, shard_axis, axis=0, tiled=True)[:n],
+        d_local,
+    )
+
+
+def _query_deform(static: StepStatic, deform_params, params, fid,
+                  shard_axis=None):
     """d_xyz for every point (masked to dynamic by callers); mirrors
     query_dmlp + the F-ToRF interpolation (train.py:164-177)."""
     xyz_n = jax.lax.stop_gradient(params.xyz) / static.scene_extent
@@ -137,23 +347,33 @@ def _query_deform(static: StepStatic, deform_params, params, fid):
 
     def q(t_scalar):
         t = jnp.broadcast_to(t_scalar, (xyz_n.shape[0], 1))
-        return apply_deform(deform_params, static.deform, xyz_n, t)
+        return _apply_deform_rows(
+            deform_params, static.deform, xyz_n, t, shard_axis
+        )
 
     if static.scene_type == "torf":
         d_xyz, d_rot, d_sh, d_sh_p = q(fid.astype(jnp.float32) / denom)
         return d_xyz, d_rot, d_sh, d_sh_p, d_xyz, d_xyz
-    # ftorf: lerp between the neighboring integration (multiple-of-4) frames
+    # ftorf: lerp between the neighboring integration (multiple-of-4)
+    # frames. The reference keeps ONLY d_xyz here — d_rot/d_sh/d_sh_p stay
+    # 0.0 (train.py:171: `d_xyz_curr, _, _, _ = query_dmlp(...)`), so the
+    # SH color-delta heads must not leak into the ftorf color path.
     curr = (fid // 4) * 4
     nxt = curr + 4
-    d_curr, d_rot, d_sh, d_sh_p = q(curr.astype(jnp.float32) / denom)
+    d_curr, _, _, _ = q(curr.astype(jnp.float32) / denom)
     d_next, _, _, _ = q(nxt.astype(jnp.float32) / denom)
-    if static.sync_phase:
+    if static.deform_sync:
         d_xyz = d_curr
     else:
         frac_next = (fid - curr).astype(jnp.float32)
         frac_curr = (nxt - fid).astype(jnp.float32)
         lerp = 0.25 * (frac_next * d_next + frac_curr * d_curr)
         d_xyz = jnp.where(fid % 4 == 0, d_curr, lerp)
+    n = d_xyz.shape[0]
+    m = (static.deform.sh_degree + 1) ** 2
+    d_rot = jnp.zeros((n, 4), d_xyz.dtype)
+    d_sh = jnp.zeros((n, m, 3), d_xyz.dtype)
+    d_sh_p = jnp.zeros((n, m, 2), d_xyz.dtype)
     return d_xyz, d_rot, d_sh, d_sh_p, d_curr, d_next
 
 
@@ -188,7 +408,7 @@ def _compose(static: StepStatic, params, d_xyz, d_rot, d_sh, alive):
     )
 
 
-def _select_tof(static: StepStatic, phasor, frame, weights):
+def _select_tof(static: StepStatic, phasor, frame):
     """Pick rendered-vs-GT ToF channels (train.py:208-228)."""
     perm = jnp.asarray(static.tof_permutation, jnp.int32)
     inv_perm = jnp.asarray(static.tof_inverse_permutation, jnp.int32)
@@ -213,43 +433,75 @@ def train_step(
     model: GaussianModelState,
     deform_params: DeformParams,
     deform_adam,
-    frame: FrameData,
-    key: jnp.ndarray,
-    weights: LossWeights,
-    lrs: GaussianParams,
-    deform_lr,
-    gauss_step_scale,  # 0.0 freezes the gaussian optimizer
-    deform_step_scale,  # 0.0 pauses the deform optimizer
+    frames: FrameData,  # whole stacked dataset (resident on device)
+    idx,  # () or (data,) int32 indices into frames
+    it,  # () int32 iteration (1-based)
+    base_key: jnp.ndarray,
 ):
+    """One fused training iteration, single-device or over a device mesh.
+
+    The only per-call host->device traffic is the camera indices and the
+    iteration scalar; the frame gather, RNG fold, lr/weight schedules and
+    the pause gating all happen on device (the tunnel runtime charges a
+    multi-ms round trip per transfer, so per-iteration scalar plumbing
+    dominated the step time before this).
+
+    With ``static.mesh_shape=(data, shard)`` the loss is evaluated under
+    shard_map: each data slice trains its own camera (idx carries `data`
+    indices) with primitives/tiles/deform-MLP rows split over the shard
+    axis; taking jax.grad *outside* the shard_map lets the collective
+    transposes produce the psum'd parameter gradients (the configuration
+    validated against single-device in tests/test_sharded.py).
+    """
     params, aux, adam = model
     n_points = params.xyz.shape[0]
+    idxs = jnp.atleast_1d(jnp.asarray(idx, jnp.int32))
 
-    # --- Background maps (train.py:122-128). Separate keys per camera
-    # size; identical map when sizes match (like the reference).
+    key = jax.random.fold_in(base_key, it)
+    weights = static.sched.weights
+    lrs = _gaussian_lrs_at(static, it)
+    deform_lr = _deform_lr_at(static, it)
+    # Deform pause for 200 iters after each opacity reset
+    # (train.py:471-472) — a skipped step, not an lr of zero.
+    s = static.sched
+    deform_step_on = (
+        (it % s.opacity_reset_interval > 200)
+        | (it >= s.densify_until_iter)
+    ).astype(jnp.float32)
+
     hc, wc = static.config_color.height, static.config_color.width
     ht, wt = static.config_tof.height, static.config_tof.width
-    if static.random_bg:
-        bg_tof = jax.random.uniform(key, (7, ht, wt), minval=-1.0, maxval=1.0)
-        bg_color_map = (
-            bg_tof
-            if (hc, wc) == (ht, wt)
-            else jax.random.uniform(
-                jax.random.fold_in(key, 1), (7, hc, wc), minval=-1.0, maxval=1.0
+
+    def per_frame(p, dfp, means2d_zero, idx_local, key_local, render,
+                  shard_axis):
+        frame = jax.tree.map(lambda a: a[idx_local], frames)
+        phase_off_cam = frame.phase_offset
+        dc_off_cam = frame.dc_offset
+
+        # --- Background maps (train.py:122-128). Separate keys per
+        # camera size; identical map when sizes match (like the
+        # reference).
+        if static.random_bg:
+            bg_tof = jax.random.uniform(
+                key_local, (7, ht, wt), minval=-1.0, maxval=1.0
             )
-        )
-    else:
-        const = jnp.asarray(static.bg_color, jnp.float32)
-        bg_tof = jnp.broadcast_to(const[:, None, None], (7, ht, wt))
-        bg_color_map = jnp.broadcast_to(const[:, None, None], (7, hc, wc))
-    bg_flow = jnp.zeros((7, ht, wt))
+            bg_color_map = (
+                bg_tof
+                if (hc, wc) == (ht, wt)
+                else jax.random.uniform(
+                    jax.random.fold_in(key_local, 1), (7, hc, wc),
+                    minval=-1.0, maxval=1.0,
+                )
+            )
+        else:
+            const = jnp.asarray(static.bg_color, jnp.float32)
+            bg_tof = jnp.broadcast_to(const[:, None, None], (7, ht, wt))
+            bg_color_map = jnp.broadcast_to(const[:, None, None], (7, hc, wc))
+        bg_flow = jnp.zeros((7, ht, wt))
 
-    phase_off_cam = frame.phase_offset
-    dc_off_cam = frame.dc_offset
-
-    def forward(p: GaussianParams, dfp: DeformParams, means2d_zero):
         if static.dynamic_on:
             d_xyz, d_rot, d_sh, d_sh_p, d_curr, d_next = _query_deform(
-                static, dfp, p, frame.frame_id
+                static, dfp, p, frame.frame_id, shard_axis
             )
         else:
             zeros3 = jnp.zeros((n_points, 3))
@@ -269,7 +521,7 @@ def train_step(
         )
         dc_offset = p.dc_offset[0] if static.optimize_dc_offset else dc_off_cam
 
-        out_tof = rasterize(
+        out_tof = render(
             means3d, scales, rots, opac_inc, shs, shs_p,
             phase_offset, dc_offset, means2d_zero, bg_tof,
             camera=frame.cam_tof, config=static.config_tof,
@@ -278,18 +530,12 @@ def train_step(
         if static.single_camera:
             out_color = out_tof
         else:
-            out_color = rasterize(
+            out_color = render(
                 means3d, scales, rots, opac_inc, shs, shs_p,
                 phase_offset, dc_offset, means2d_zero, bg_color_map,
                 camera=frame.cam_color, config=static.config_color,
                 active_sh_degree=static.active_sh_degree,
             )
-        return out_color, out_tof, (d_xyz, d_rot, d_curr, d_next, include, opac_inc)
-
-    def loss_fn(p: GaussianParams, dfp: DeformParams, means2d_zero):
-        out_color, out_tof, (d_xyz, d_rot, d_curr, d_next, include, opac_inc) = (
-            forward(p, dfp, means2d_zero)
-        )
         image = out_color.color
         phasor = out_tof.phasor
         depth = out_tof.depth
@@ -311,7 +557,7 @@ def train_step(
 
         # ToF loss (train.py:208-228)
         if static.scene_type in ("torf", "ftorf"):
-            tof_rendered, tof_gt = _select_tof(static, phasor, frame, weights)
+            tof_rendered, tof_gt = _select_tof(static, phasor, frame)
             if static.use_wl1p:
                 if static.use_quad:
                     ll1p = L.weighted_l2_loss_quad(tof_rendered, tof_gt, static.wl1p_e)
@@ -348,9 +594,12 @@ def train_step(
                     * (1.0 - L.ssim(out_color.depth, frame.gt_distance))
                 )
 
-        # Deformation regularizer (train.py:239-240)
+        # Deformation regularizer (train.py:239-240): |d_xyz|.mean() over
+        # the dynamic subset. Pruned slots keep stale seg/xyz, so the mask
+        # must include aux.alive (the reference's tensors only ever hold
+        # live points).
         if static.mlp_reg_on and static.dynamic_on:
-            motion = get_motion_mask(p)
+            motion = get_motion_mask(p) & aux.alive
             reg = jnp.sum(jnp.abs(d_xyz) * motion[:, None]) / (
                 3.0 * jnp.maximum(jnp.sum(motion), 1)
             )
@@ -371,7 +620,7 @@ def train_step(
                 def render_flow(flow3d):
                     motion = get_motion_mask(p)
                     flow_masked = jnp.where(motion[:, None], flow3d, 0.0)
-                    out = rasterize(
+                    out = render(
                         jax.lax.stop_gradient(
                             jnp.where(motion[:, None], p.xyz + d_curr, p.xyz)
                         ),
@@ -396,9 +645,9 @@ def train_step(
                 denom = max(static.total_num_views - 1, 1)
                 prev_t = ((frame.frame_id // 4) * 4 - 4).astype(jnp.float32) / denom
                 xyz_n = jax.lax.stop_gradient(p.xyz) / static.scene_extent
-                d_prev, _, _, _ = apply_deform(
+                d_prev, _, _, _ = _apply_deform_rows(
                     dfp, static.deform, xyz_n,
-                    jnp.broadcast_to(prev_t, (n_points, 1)),
+                    jnp.broadcast_to(prev_t, (n_points, 1)), shard_axis,
                 )
                 bwd = render_flow(d_prev - d_xyz)
                 bwd2d = project_flow(pts2d, pts3d, bwd, view_tof, k_tof)
@@ -431,9 +680,11 @@ def train_step(
                 jnp.sum(motion), 1
             )
 
-        # Scale regularizer on visible gaussians (train.py:275-277)
+        # Scale regularizer on visible gaussians (train.py:275-277).
+        # radii stay nonzero for excluded/pruned points (only opacity is
+        # zeroed before rasterize), so visibility needs the include mask.
         if static.scale_on:
-            vis = out_tof.radii > 0
+            vis = (out_tof.radii > 0) & include
             s = get_scaling(p)
             per = jnp.mean(s, axis=-1) ** 2
             total += weights.scale * jnp.sum(per * vis) / jnp.maximum(
@@ -441,53 +692,121 @@ def train_step(
             )
 
         metrics["loss"] = total
-        aux_out = (out_color, out_tof, metrics)
+        aux_out = StepAux(
+            metrics=metrics,
+            radii=out_tof.radii,
+            pixels=out_tof.pixels[:, 0],
+            num_rendered=out_tof.num_rendered,
+            dup_overflow=out_tof.dup_overflow,
+            tile_overflow=out_tof.tile_overflow,
+        )
         return total, aux_out
 
-    means2d_zero = jnp.zeros((n_points, 2))
-    grad_fn = jax.grad(loss_fn, argnums=(0, 1, 2), has_aux=True)
-    (g_params, g_deform, g_means2d), (out_color, out_tof, metrics) = grad_fn(
-        params, deform_params, means2d_zero
-    )
+    # --- Wire per_frame into a (possibly shard_mapped) loss function.
+    # aux leaves get a leading per-camera axis in both modes so the
+    # reductions below are mode-independent.
+    mesh_shape = static.mesh_shape
+    sharded = mesh_shape is not None and mesh_shape[0] * mesh_shape[1] > 1
+    if not sharded:
 
-    # --- Densification stats (train.py:441-449)
-    motion = get_motion_mask(params)
-    if tuple(static.render_regions) == ("static",):
-        apply_mask = ~motion
-    elif tuple(static.render_regions) == ("dynamic",):
-        apply_mask = motion
-    else:
-        apply_mask = None
-    new_aux = add_densification_stats(
-        aux, g_means2d, out_tof.radii, out_tof.pixels[:, 0], apply_mask
-    )
-
-    # --- Optimizers (train.py:467-474). Dead capacity slots must receive
-    # exactly-zero gradients (belt to the safe-normalize suspenders: any
-    # NaN there would poison Adam moments and, via the deform MLP's
-    # full-capacity input, the whole model).
-    def mask_dead(g):
-        if g.ndim >= 1 and g.shape[0] == n_points:
-            return jnp.where(
-                aux.alive.reshape((n_points,) + (1,) * (g.ndim - 1)),
-                g, jnp.zeros_like(g),
+        def loss_fn(p, dfp, means2d_zero, idxs_arr):
+            total, aux_out = per_frame(
+                p, dfp, means2d_zero, idxs_arr[0], key, rasterize, None
             )
-        return g
+            return total, jax.tree.map(lambda x: jnp.asarray(x)[None], aux_out)
 
-    g_params = jax.tree.map(mask_dead, g_params)
-    lrs_eff = jax.tree.map(lambda lr: lr * gauss_step_scale, lrs)
-    new_params, new_adam = adam_update(params, g_params, adam, lrs_eff)
+    else:
+        data_ax, shard_ax = mesh_shape
+        mesh = cached_mesh(data_ax, shard_ax)
+        render = _sharded_render("shard")
+
+        @functools.partial(
+            shard_map, mesh=mesh,
+            in_specs=(P(), P(), P(), P("data")),
+            out_specs=(P(), P("data")),
+            check_vma=False,
+        )
+        def loss_fn(p, dfp, means2d_zero, idxs_arr):
+            k = key
+            if data_ax > 1:
+                # distinct random bg per data slice; data_ax == 1 keeps
+                # single-device numerics bit-identical
+                k = jax.random.fold_in(k, jax.lax.axis_index("data"))
+            total, aux_out = per_frame(
+                p, dfp, means2d_zero, idxs_arr[0], k, render, "shard"
+            )
+            if data_ax > 1:
+                total = jax.lax.pmean(total, "data")
+            return total, jax.tree.map(lambda x: jnp.asarray(x)[None], aux_out)
+
+    means2d_zero = jnp.zeros((n_points, 2))
+    if static.frozen_gauss:
+        # Post-densify_until_iter: the reference never steps the gaussian
+        # optimizer or accumulates densification stats again
+        # (train.py:441,469-470) — differentiate w.r.t. the deform MLP
+        # only and let XLA drop the per-Gaussian backward entirely.
+        grad_fn = jax.grad(loss_fn, argnums=1, has_aux=True)
+        g_deform, sa = grad_fn(params, deform_params, means2d_zero, idxs)
+        new_params, new_adam, new_aux = params, adam, aux
+    else:
+        grad_fn = jax.grad(loss_fn, argnums=(0, 1, 2), has_aux=True)
+        (g_params, g_deform, g_means2d), sa = grad_fn(
+            params, deform_params, means2d_zero, idxs
+        )
+
+    # Per-camera reductions (leading axis = data slices; size 1 when
+    # single-device). Radii: visible in ANY camera; pixels/NDC-grads:
+    # summed over cameras — the batched generalization of the
+    # reference's one-camera-per-iter accumulation (train.py:443-449).
+    radii = jnp.max(sa.radii, axis=0)
+    pixels = jnp.sum(sa.pixels, axis=0)
+    metrics = {name: jnp.mean(v) for name, v in sa.metrics.items()}
+
+    if not static.frozen_gauss:
+        # --- Densification stats (train.py:441-449)
+        motion = get_motion_mask(params)
+        if tuple(static.render_regions) == ("static",):
+            apply_mask = ~motion
+        elif tuple(static.render_regions) == ("dynamic",):
+            apply_mask = motion
+        else:
+            apply_mask = None
+        new_aux = add_densification_stats(
+            aux, g_means2d, radii, pixels, apply_mask
+        )
+
+        # --- Optimizers (train.py:467-474). Dead capacity slots must
+        # receive exactly-zero gradients (belt to the safe-normalize
+        # suspenders: any NaN there would poison Adam moments and, via the
+        # deform MLP's full-capacity input, the whole model).
+        def mask_dead(g):
+            if g.ndim >= 1 and g.shape[0] == n_points:
+                return jnp.where(
+                    aux.alive.reshape((n_points,) + (1,) * (g.ndim - 1)),
+                    g, jnp.zeros_like(g),
+                )
+            return g
+
+        g_params = jax.tree.map(mask_dead, g_params)
+        new_params, new_adam = adam_update(params, g_params, adam, lrs)
 
     g_deform = clip_by_global_norm(g_deform, 1.0)
-    d_lr = jax.tree.map(lambda _: deform_lr * deform_step_scale, deform_params)
+    d_lr = jax.tree.map(lambda _: deform_lr, deform_params)
     new_deform, new_deform_adam = adam_update(
-        deform_params, g_deform, deform_adam, d_lr
+        deform_params, g_deform, deform_adam, d_lr, on=deform_step_on
     )
 
-    metrics["num_rendered"] = out_tof.num_rendered
-    metrics["dup_overflow"] = out_tof.dup_overflow
-    metrics["tile_overflow"] = out_tof.tile_overflow
-    metrics["visible"] = jnp.sum(out_tof.radii > 0)
+    metrics["num_rendered"] = jnp.sum(sa.num_rendered)
+    metrics["dup_overflow"] = jnp.max(sa.dup_overflow.astype(jnp.int32))
+    metrics["tile_overflow"] = jnp.max(sa.tile_overflow)
+    metrics["visible"] = jnp.sum(radii > 0)
+    metrics["num_points"] = jnp.sum(aux.alive)
 
     new_model = GaussianModelState(new_params, new_aux, new_adam)
-    return new_model, new_deform, new_deform_adam, metrics
+    # One packed f32 vector -> a single device->host transfer per step
+    # when the host drains metrics (vs ~10 scalar fetches).
+    packed = jnp.stack([
+        jnp.asarray(metrics.get(k, jnp.float32(0.0)), jnp.float32)
+        for k in METRIC_NAMES
+    ])
+    return new_model, new_deform, new_deform_adam, packed

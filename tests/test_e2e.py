@@ -85,15 +85,21 @@ class TestTrainerFToRF:
             lambda_flow=0.01, lambda_color=0.0,
         )
         trainer = Trainer(cfg)
-        first_losses, last_losses = [], []
+        outs = []
         for i in range(100):
-            out = trainer.step()
-            assert np.isfinite(out["loss"]), f"loss diverged at {i}"
+            outs += trainer.step()
+        outs += trainer.drain()
+        # pipelined metrics must still cover every iteration exactly once
+        assert [o["iteration"] for o in outs] == list(range(1, 101))
+        first_losses, last_losses = [], []
+        for out in outs:
+            it = out["iteration"]
+            assert np.isfinite(out["loss"]), f"loss diverged at {it}"
             # Track the ToF data term only: the flow loss switches on at
             # iteration 40, so the total is not comparable across phases.
-            if i < 20:
+            if it <= 20:
                 first_losses.append(out["l1_p"])
-            if i >= 75:
+            if it > 75:
                 last_losses.append(out["l1_p"])
         # generous margin: 100 iterations of a stochastic run
         assert np.mean(last_losses) < 1.05 * np.mean(first_losses)
@@ -132,11 +138,14 @@ class TestTrainerFToRF:
         trainer = Trainer(cfg)
         assert trainer.scene.scene_type == "torf"
         assert trainer.render_regions == ("dynamic",)
-        first, last = [], []
+        outs = []
         for i in range(60):
-            out = trainer.step()
+            outs += trainer.step()
+        outs += trainer.drain()
+        first, last = [], []
+        for out in outs:
             assert np.isfinite(out["loss"])
-            (first if i < 10 else last).append(out["l1_p"])
+            (first if out["iteration"] <= 10 else last).append(out["l1_p"])
         assert np.mean(last[-10:]) < np.mean(first)
 
     def test_checkpoint_roundtrip(self, ftorf_dir, tmp_path):
@@ -144,6 +153,7 @@ class TestTrainerFToRF:
         tr = Trainer(cfg)
         for _ in range(5):
             tr.step()
+        tr.drain()
         ck = str(tmp_path / "ck.npz")
         tr.save_checkpoint(ck)
         tr2 = Trainer(cfg, scene=tr.scene)

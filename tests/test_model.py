@@ -69,6 +69,30 @@ class TestAdam:
             topt.step()
         np.testing.assert_allclose(params.xyz, tp.detach().numpy(), rtol=1e-5)
 
+    def test_skip_semantics(self):
+        """on=0 must be a true skip (reference conditional optimizer.step(),
+        train.py:469-472): params, moments AND step counter unchanged —
+        unlike an lr of 0, which decays grads into the moments."""
+        st = make_state(n=4, capacity=4)
+        lrs = jax.tree.map(lambda _: 0.01, st.params)
+        grads = jax.tree.map(jnp.ones_like, st.params)
+
+        p_off, a_off = adam_update(
+            st.params, grads, st.adam, lrs, on=jnp.float32(0.0)
+        )
+        assert int(a_off.step) == 0
+        for new, old in zip(jax.tree.leaves(p_off), jax.tree.leaves(st.params)):
+            np.testing.assert_array_equal(new, old)
+        for new, old in zip(jax.tree.leaves(a_off.mu), jax.tree.leaves(st.adam.mu)):
+            np.testing.assert_array_equal(new, old)
+
+        p_on, a_on = adam_update(
+            st.params, grads, st.adam, lrs, on=jnp.float32(1.0)
+        )
+        p_ref, a_ref = adam_update(st.params, grads, st.adam, lrs)
+        assert int(a_on.step) == int(a_ref.step) == 1
+        np.testing.assert_allclose(p_on.xyz, p_ref.xyz)
+
 
 class TestDensify:
     def test_clone_small_high_grad(self):

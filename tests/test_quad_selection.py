@@ -39,7 +39,7 @@ def test_quad_identity_permutation():
     quads = jnp.stack([jnp.full((8, 8), 10.0 + i) for i in range(4)])
     st = make_static()
     for fid in range(8):
-        r, g = _select_tof(st, phasor, FakeFrame(fid, quads), None)
+        r, g = _select_tof(st, phasor, FakeFrame(fid, quads))
         assert float(r[0, 0, 0]) == 3.0 + fid % 4
         assert float(g[0, 0, 0]) == 10.0 + fid % 4
 
@@ -54,7 +54,7 @@ def test_quad_nontrivial_permutation():
     quads = jnp.stack([jnp.full((8, 8), 10.0 + i) for i in range(4)])
     st = make_static(tof_permutation=perm, tof_inverse_permutation=inv)
     for fid in range(4):
-        r, g = _select_tof(st, phasor, FakeFrame(fid, quads), None)
+        r, g = _select_tof(st, phasor, FakeFrame(fid, quads))
         assert float(r[0, 0, 0]) == 3.0 + inv[fid]
         assert float(g[0, 0, 0]) == 10.0 + fid
 
@@ -67,7 +67,7 @@ def test_sync_phase_uses_sin_channel():
     quads = jnp.stack([jnp.full((8, 8), 10.0 + i) for i in range(4)])
     st = make_static(sync_phase=True, tof_permutation=perm,
                      tof_inverse_permutation=tuple(np.argsort(perm)))
-    r, g = _select_tof(st, phasor, FakeFrame(1, quads), None)
+    r, g = _select_tof(st, phasor, FakeFrame(1, quads))
     assert float(r[0, 0, 0]) == 3.0 + 2  # rendered quad channel 2
     assert float(g[0, 0, 0]) == 10.0 + perm[2]
 
@@ -76,7 +76,7 @@ def test_no_quad_uses_phasor_channels():
     phasor = jnp.arange(7 * 8 * 8, dtype=jnp.float32).reshape(7, 8, 8)
     st = make_static(use_quad=False, num_phasor_channels=2)
     frame = FakeFrame(0, jnp.zeros((4, 8, 8)))
-    r, g = _select_tof(st, phasor, frame, None)
+    r, g = _select_tof(st, phasor, frame)
     assert r.shape == (2, 8, 8)
     np.testing.assert_array_equal(np.asarray(r), np.asarray(phasor[:2]))
     np.testing.assert_array_equal(np.asarray(g), np.asarray(frame.gt_phasor[:2]))

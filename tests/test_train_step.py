@@ -19,7 +19,25 @@ from gftorf_tpu.models.gaussians import (
 )
 from gftorf_tpu.render import rasterize
 from gftorf_tpu.train.schedule import build_gaussian_lrs, deform_lr_at
-from gftorf_tpu.train.step import FrameData, LossWeights, StepStatic, train_step
+from gftorf_tpu.train.step import (
+    METRIC_NAMES,
+    FrameData,
+    SchedStatic,
+    StepStatic,
+    train_step,
+    _deform_lr_at,
+    _gaussian_lrs_at,
+)
+
+
+def stack1(frame):
+    """Stack a single FrameData into an N=1 dataset (train_step takes the
+    whole stacked dataset plus an index)."""
+    return jax.tree.map(lambda a: jnp.asarray(a)[None], frame)
+
+
+def unpack(packed):
+    return dict(zip(METRIC_NAMES, [float(v) for v in np.asarray(packed)]))
 
 
 def build_frame(sc, gt_image, gt_phasor):
@@ -124,30 +142,167 @@ def test_train_step_converges():
         random_bg=False,
         scene_extent=5.0,
     )
-    weights = LossWeights(
-        color=jnp.float32(1.0), tof=jnp.float32(1.0), dssim=jnp.float32(0.2),
-        depth=jnp.float32(0.0), dd=jnp.float32(0.0), flow=jnp.float32(0.0),
-        oe=jnp.float32(0.0), scale=jnp.float32(0.0), mlp_reg=jnp.float32(0.0),
-    )
     opt = OptimizationParams()
     opt.position_lr_init = 0.002  # scaled up for the tiny test scene
     opt.position_lr_final = 0.002
+    static = dataclasses.replace(
+        static, sched=SchedStatic.from_opt(opt, 1.0, opt.opacity_reset_interval)
+    )
+    frames = stack1(frame)
 
     losses = []
-    deform_lr = deform_lr_at(opt, 5000)
     for it in range(80):
-        lrs = jax.tree.map(
-            jnp.float32,
-            build_gaussian_lrs(opt, it + 1, static.scene_extent, 3, False),
+        model, deform, deform_adam, packed = train_step(
+            static, model, deform, deform_adam, frames,
+            jnp.int32(0), jnp.int32(it + 1), key,
         )
-        model, deform, deform_adam, metrics = train_step(
-            static, model, deform, deform_adam, frame,
-            jax.random.fold_in(key, 1000 + it), weights, lrs,
-            jnp.float32(deform_lr), jnp.float32(1.0), jnp.float32(1.0),
-        )
-        losses.append(float(metrics["loss"]))
+        losses.append(unpack(packed)["loss"])
 
     assert np.isfinite(losses).all()
     assert losses[-1] < 0.5 * losses[0], (losses[0], losses[-1])
     # stats accumulated
     assert float(jnp.sum(model.aux.denom)) > 0
+
+
+def test_frozen_gauss_keeps_params_but_trains_deform():
+    """Post-densify_until_iter the gaussian optimizer must never step
+    (reference train.py:469-470) while the deform MLP keeps training."""
+    key = jax.random.PRNGKey(1)
+    sc = make_scene(key, num_points=64, width=32, height=24)
+    n = 64
+    bg0 = jnp.zeros((7, sc.config.height, sc.config.width))
+    target = rasterize(
+        sc.means3d, sc.scales, sc.rotations, sc.opacities, sc.shs, sc.shs_p,
+        0.0, 0.0, jnp.zeros((n, 2)), bg0, camera=sc.camera, config=sc.config,
+    )
+    frame = build_frame(sc, target.color, target.phasor[:3])
+    params = params_from_scene(sc, jitter=0.05, key=jax.random.fold_in(key, 5))
+    # mark half the points dynamic so the deform path carries gradient
+    params = params._replace(
+        seg_color=params.seg_color.at[: n // 2, 0].set(1.0)
+    )
+    zeros = jax.tree.map(jnp.zeros_like, params)
+    model = GaussianModelState(
+        params=params,
+        aux=GaussianAux(
+            alive=jnp.ones((n,), bool),
+            max_radii2d=jnp.zeros((n,)),
+            xyz_grad_accum=jnp.zeros((n,)),
+            denom=jnp.zeros((n,)),
+        ),
+        adam=AdamState(mu=zeros, nu=zeros, step=jnp.int32(0)),
+    )
+    deform_cfg = DeformConfig(depth=2, width=32, sh_degree=3)
+    deform = init_deform(jax.random.fold_in(key, 7), deform_cfg)
+    deform_adam = AdamState(
+        mu=jax.tree.map(jnp.zeros_like, deform),
+        nu=jax.tree.map(jnp.zeros_like, deform),
+        step=jnp.int32(0),
+    )
+    static = StepStatic(
+        scene_type="torf", config_color=sc.config, config_tof=sc.config,
+        deform=deform_cfg, active_sh_degree=3, total_num_views=2,
+        render_regions=("static", "dynamic"), dynamic_on=True,
+        sync_phase=False, use_quad=False, use_wl1c=False, use_wl1p=False,
+        wl1p_e=0.1, num_phasor_channels=2, color_on=True, depth_on=False,
+        dd_on=False, oe_on=False, scale_on=False, mlp_reg_on=False,
+        flow_on=False, optimize_phase_offset=False, optimize_dc_offset=False,
+        random_bg=False, scene_extent=5.0, frozen_gauss=True,
+    )
+    opt = OptimizationParams()
+    static = dataclasses.replace(
+        static, sched=SchedStatic.from_opt(opt, 1.0, opt.opacity_reset_interval)
+    )
+    # it >= densify_until_iter: gaussians frozen, deform pause over.
+    model2, deform2, deform_adam2, packed = train_step(
+        static, model, deform, deform_adam, stack1(frame),
+        jnp.int32(0), jnp.int32(opt.densify_until_iter + 1), key,
+    )
+    assert np.isfinite(unpack(packed)["loss"])
+    # gaussian params and Adam untouched
+    for new, old in zip(jax.tree.leaves(model2.params), jax.tree.leaves(model.params)):
+        np.testing.assert_array_equal(new, old)
+    assert int(model2.adam.step) == 0
+    assert float(jnp.sum(model2.aux.denom)) == 0.0
+    # deform stepped
+    assert int(deform_adam2.step) == 1
+    diffs = [
+        float(jnp.max(jnp.abs(a - b)))
+        for a, b in zip(jax.tree.leaves(deform2), jax.tree.leaves(deform))
+    ]
+    assert max(diffs) > 0.0
+
+
+def test_ftorf_deform_discards_sh_deltas():
+    """The reference's ftorf path keeps only d_xyz from the deform MLP
+    (train.py:171); the SH color-delta heads must stay zero."""
+    from gftorf_tpu.train.step import _query_deform
+
+    deform_cfg = DeformConfig(depth=2, width=32, sh_degree=1)
+    dfp = init_deform(jax.random.PRNGKey(3), deform_cfg)
+    # blow up every head so a leak would be visible
+    dfp = dfp._replace(
+        head_w={k: w * 1e6 for k, w in dfp.head_w.items()},
+        head_b={k: b + 1.0 for k, b in dfp.head_b.items()},
+    )
+    params = params_from_scene(make_scene(jax.random.PRNGKey(4), 16, 16, 16))
+
+    def mk(scene_type):
+        return StepStatic(
+            scene_type=scene_type, config_color=None, config_tof=None,
+            deform=deform_cfg, active_sh_degree=1, total_num_views=9,
+            render_regions=("static", "dynamic"), dynamic_on=True,
+            sync_phase=False, use_quad=True, use_wl1c=False, use_wl1p=False,
+            wl1p_e=0.1, num_phasor_channels=2, color_on=True, depth_on=False,
+            dd_on=False, oe_on=False, scale_on=False, mlp_reg_on=False,
+            flow_on=False, optimize_phase_offset=False,
+            optimize_dc_offset=False, random_bg=False, scene_extent=5.0,
+        )
+
+    _, _, d_sh_f, d_sh_p_f, _, _ = _query_deform(
+        mk("ftorf"), dfp, params, jnp.int32(2)
+    )
+    np.testing.assert_array_equal(np.asarray(d_sh_f), 0.0)
+    np.testing.assert_array_equal(np.asarray(d_sh_p_f), 0.0)
+
+    _, _, d_sh_t, _, _, _ = _query_deform(mk("torf"), dfp, params, jnp.int32(2))
+    assert float(jnp.max(jnp.abs(d_sh_t))) > 0.0
+
+
+def test_injit_schedule_matches_host_schedule():
+    """The in-jit lr schedules (step._gaussian_lrs_at/_deform_lr_at) must
+    agree with the host-side reference implementation (train/schedule.py,
+    itself validated against general_utils.py:41-75)."""
+    sc = make_scene(jax.random.PRNGKey(0), num_points=8, width=16, height=16)
+    opt = OptimizationParams()
+    opt.phase_offset_lr = 1e-3
+    opt.dc_offset_lr = 2e-3
+    opt.optimize_offset_start = 500
+    deform_cfg = DeformConfig(depth=2, width=32, sh_degree=3)
+    static = StepStatic(
+        scene_type="torf", config_color=sc.config, config_tof=sc.config,
+        deform=deform_cfg, active_sh_degree=3, total_num_views=2,
+        render_regions=("static", "dynamic"), dynamic_on=True,
+        sync_phase=False, use_quad=False, use_wl1c=False, use_wl1p=False,
+        wl1p_e=0.1, num_phasor_channels=2, color_on=True, depth_on=False,
+        dd_on=False, oe_on=False, scale_on=False, mlp_reg_on=False,
+        flow_on=False, optimize_phase_offset=True, optimize_dc_offset=True,
+        random_bg=False, scene_extent=4.7,
+        sched=SchedStatic.from_opt(opt, 1.0, opt.opacity_reset_interval),
+    )
+    sh_deg = sc.config.sh_degree
+    for it in (1, 100, 499, 500, 501, 3000, 15000, 29999, 30000, 40000):
+        got = jax.tree.map(np.asarray, _gaussian_lrs_at(static, jnp.int32(it)))
+        want = build_gaussian_lrs(opt, it, static.scene_extent, sh_deg, False)
+        for g, w, name in zip(
+            jax.tree.leaves(got), jax.tree.leaves(want),
+            type(got)._fields,
+        ):
+            np.testing.assert_allclose(
+                g, np.float32(w), rtol=2e-6, err_msg=f"{name} @ it={it}"
+            )
+        np.testing.assert_allclose(
+            np.asarray(_deform_lr_at(static, jnp.int32(it))),
+            np.float32(deform_lr_at(opt, it)), rtol=2e-6,
+            err_msg=f"deform @ it={it}",
+        )

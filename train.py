@@ -109,23 +109,27 @@ def main(argv=None):
             jax.profiler.start_trace(
                 os.path.join(cfg.model.model_path, "profile")
             )
-        out = trainer.step()
-        it = out["iteration"]
-        if profile_range and it == profile_range[1]:
-            import jax
+        outs = trainer.step()
+        it = trainer.iteration
+        if it in test_iters or it in save_iters or it in ckpt_iters:
+            outs += trainer.drain()
+        for out in outs:
+            oit = out["iteration"]
+            if profile_range and oit == profile_range[1]:
+                import jax
 
-            jax.profiler.stop_trace()
-            print(f"profiler trace written to "
-                  f"{cfg.model.model_path}/profile", flush=True)
-        if it % 50 == 0 or it == 1:
-            log_f.write(json.dumps(out) + "\n")
-            log_f.flush()
-        if not args.quiet and (it % 200 == 0 or it == 1):
-            print(
-                f"[{it}/{iterations}] loss {out['ema_loss']:.5f} "
-                f"pts {out['num_points']} vis {out['visible']} "
-                f"{out['iter_time']*1e3:.1f} ms", flush=True,
-            )
+                jax.profiler.stop_trace()
+                print(f"profiler trace written to "
+                      f"{cfg.model.model_path}/profile", flush=True)
+            if oit % 50 == 0 or oit == 1:
+                log_f.write(json.dumps(out) + "\n")
+                log_f.flush()
+            if not args.quiet and (oit % 200 == 0 or oit == 1):
+                print(
+                    f"[{oit}/{iterations}] loss {out['ema_loss']:.5f} "
+                    f"pts {out['num_points']} vis {out['visible']} "
+                    f"{out['iter_time']*1e3:.1f} ms", flush=True,
+                )
         if it in test_iters:
             report = evaluate_and_report(trainer)
             log_f.write(json.dumps({"eval": report, "iteration": it}) + "\n")
@@ -140,6 +144,7 @@ def main(argv=None):
             trainer.save_checkpoint(
                 os.path.join(cfg.model.model_path, f"chkpnt{it}.npz")
             )
+    trainer.drain()
     log_f.close()
     print(f"Training complete in {time.time()-t_start:.1f} s")
 
