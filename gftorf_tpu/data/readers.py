@@ -335,7 +335,7 @@ def read_torf_scene(path: str, args: ModelParams, eval_split: bool,
     return SceneData(
         scene_type="torf", train_cameras=train, test_cameras=test,
         spiral_cameras=_spiral_cameras(tof_E, col_K, args, depth_range,
-                                       phase_offset, znear, zfar),
+                                       phase_offset, znear, zfar, path),
         scene_extent=depth_range * 0.55,
         cameras_extent=_camera_centers_extent(train),
         tof_permutation=np.arange(4), tof_inverse_permutation=np.arange(4),
@@ -372,16 +372,30 @@ def _init_pcd_torf(path, train, args, depth_range, phase_offset):
                 seg_colors=seg.astype(np.float32))
 
 
-def _spiral_cameras(tof_E, col_K, args, depth_range, phase_offset, znear, zfar):
-    from gftorf_tpu.data.spiral import get_render_poses_spiral
+def _spiral_cameras(tof_E, col_K, args, depth_range, phase_offset, znear,
+                    zfar, path=None):
+    from gftorf_tpu.data.spiral import get_render_poses_spiral, recenter_poses
 
-    poses = [np.linalg.inv(e) for e in tof_E]
-    n_rots = 1 if not args.dynamic else 2
-    spiral = get_render_poses_spiral(
-        -1.0, np.array([znear, zfar]), poses,
-        n_views=args.total_num_spiral_views, n_rots=n_rots)
-    if not args.dynamic:
-        spiral = spiral[::-1]
+    test_poses = os.path.join(path, "test_poses.npy") if path else None
+    if test_poses and os.path.exists(test_poses):
+        # Author-provided eval path (dataset_readers.py:493-501): stored
+        # as world-to-camera rows, pushed 10% further out and recentred
+        # on the rig's average pose.
+        w2c = np.load(test_poses)
+        c2w = np.tile(np.eye(4)[None], (w2c.shape[0], 1, 1))
+        c2w[:, :3, :] = w2c[:, :3, :4]
+        c2w = np.linalg.inv(c2w)
+        c2w[:, :3, -1] *= 1.1
+        c2w, _ = recenter_poses(c2w)
+        spiral = c2w[::-1]
+    else:
+        poses = [np.linalg.inv(e) for e in tof_E]
+        n_rots = 1 if not args.dynamic else 2
+        spiral = get_render_poses_spiral(
+            -1.0, np.array([znear, zfar]), poses,
+            n_views=args.total_num_spiral_views, n_rots=n_rots)
+        if not args.dynamic:
+            spiral = spiral[::-1]
     out = []
     for fid, pose in enumerate(spiral):
         e = np.linalg.inv(pose)
@@ -399,8 +413,11 @@ def _spiral_cameras(tof_E, col_K, args, depth_range, phase_offset, znear, zfar):
             height=int(args.color_image_height * args.color_scale_factor),
             image=None,
             R_tof=np.transpose(e[:3, :3]), T_tof=e[:3, 3],
-            fov_x_tof=_fov(args.tof_image_width, K[0, 0] * args.tof_scale_factor / args.color_scale_factor if args.color_scale_factor else K[0, 0]),
-            fov_y_tof=_fov(args.tof_image_height, K[1, 1]),
+            # spiral ToF fovs == color fovs (the reference reuses FovX/
+            # FovY computed from the color dims for both cameras,
+            # dataset_readers.py:418-425)
+            fov_x_tof=_fov(args.color_image_width, K[0, 0]),
+            fov_y_tof=_fov(args.color_image_height, K[1, 1]),
             fx_tof=K[0, 0] * args.tof_scale_factor,
             fy_tof=K[1, 1] * args.tof_scale_factor,
             cx_tof=K[0, 2] * args.tof_scale_factor,

@@ -143,6 +143,8 @@ class Scene:
         else:
             self.test_frames = stack_frames(self.data.test_cameras)
         self.num_train = len(self.data.train_cameras)
+        self.num_spiral = len(self.data.spiral_cameras)
+        self._spiral_frames: Optional[FrameData] = None
 
         c0 = self.data.train_cameras[0]
         self.color_size = (c0.height, c0.width)
@@ -172,6 +174,17 @@ class Scene:
                 isotropic=m.isotropic_gaussians,
                 init_static_first=m.init_static_first,
             )
+
+    @property
+    def spiral_frames(self) -> Optional[FrameData]:
+        """Stacked spiral render-path cameras (torf scenes), lazily
+        built: training never touches them (render.py:352-357 renders
+        them only at eval time)."""
+        if not self.num_spiral:
+            return None
+        if self._spiral_frames is None:
+            self._spiral_frames = stack_frames(self.data.spiral_cameras)
+        return self._spiral_frames
 
     def raster_config(self, tof: bool, sh_degree: int) -> RasterConfig:
         h, w = self.tof_size if tof else self.color_size

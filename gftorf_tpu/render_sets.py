@@ -90,9 +90,17 @@ def _write_gif(path, frames):
 
 
 def render_split(trainer, frames, n_frames, out_dir, cfg, max_frames=0,
-                 write_video=True):
+                 write_video=True, static=None, frame_id_override=None):
+    """Render a stacked frame split to per-channel sequences.
+
+    ``static`` overrides the step static (the spiral path retimes the
+    deform query by replacing total_num_views); ``frame_id_override``
+    pins the deform time to one frame for every camera (the reference's
+    freeze-frame spiral, render.py:340-357).
+    """
     os.makedirs(out_dir, exist_ok=True)
-    static = trainer._static_for(max(trainer.iteration, 1))
+    if static is None:
+        static = trainer._static_for(max(trainer.iteration, 1))
     chans = ["color", "real", "imag", "amp", "depth", "depth_tof", "dd"]
     if cfg.opt.use_quad:
         chans.append("quad")
@@ -104,6 +112,8 @@ def render_split(trainer, frames, n_frames, out_dir, cfg, max_frames=0,
     depth_range = trainer.scene.data.depth_range
     for i in range(count):
         frame = take_frame(frames, i)
+        if frame_id_override is not None:
+            frame = frame._replace(frame_id=jnp.int32(frame_id_override))
         metrics, out_color, out_tof = eval_frame(
             static, trainer.model.params, trainer.deform,
             trainer.model.aux.alive, frame,
@@ -146,6 +156,36 @@ def render_split(trainer, frames, n_frames, out_dir, cfg, max_frames=0,
                 _write_gif(os.path.join(out_dir, f"{ch}.gif"), fr)
 
 
+def render_input_split(trainer, frames, n_frames, out_dir, cfg,
+                       max_frames=0):
+    """Dump the GT observations as channel sequences (the reference's
+    save_input, render.py:150-223): the 'Input' column of the panel."""
+    import imageio.v2 as imageio
+
+    count = n_frames if not max_frames else min(n_frames, max_frames)
+    depth_range = trainer.scene.data.depth_range
+    chans = ["color", "real", "imag", "amp", "depth", "depth_tof"]
+    for ch in chans:
+        os.makedirs(os.path.join(out_dir, ch), exist_ok=True)
+    for i in range(count):
+        frame = take_frame(frames, i)
+        gt_phasor = np.asarray(frame.gt_phasor)  # (3,H,W) real/imag/amp
+        color = np.moveaxis(np.asarray(frame.gt_image), 0, -1)
+        depth_tof = np.asarray(depth_from_tof(
+            np.moveaxis(gt_phasor, 0, -1), depth_range,
+            float(frame.phase_offset)))
+        imgs = {
+            "color": to8b(color),
+            "real": to8b(np.abs(gt_phasor[0])),
+            "imag": to8b(np.abs(gt_phasor[1])),
+            "amp": to8b(normalize_im(gt_phasor[2])),
+            "depth": depth_to_disp_viz(depth_tof, depth_range),
+            "depth_tof": depth_to_disp_viz(depth_tof, depth_range),
+        }
+        for ch, img in imgs.items():
+            imageio.imwrite(os.path.join(out_dir, ch, f"{i:04d}.png"), img)
+
+
 def render_sets(model_path: str, iteration: int = -1, skip_train=False,
                 skip_test=False, skip_video=False, max_frames=0):
     trainer, cfg, it = load_trained(model_path, iteration)
@@ -161,5 +201,36 @@ def render_sets(model_path: str, iteration: int = -1, skip_train=False,
         render_split(trainer, trainer.scene.train_frames,
                      trainer.scene.num_train, os.path.join(base, "train"),
                      cfg, max_frames, not skip_video)
+
+    # Spiral + freeze-frame spiral paths, torf scenes only
+    # (render.py:352-357): the spiral sweep plays scene time along the
+    # path (denominator = num spiral views), the freeze-frame sweep pins
+    # time to the middle training frame.
+    if trainer.scene.scene_type == "torf" and trainer.scene.num_spiral:
+        import dataclasses
+
+        n_sp = trainer.scene.num_spiral
+        spiral = trainer.scene.spiral_frames
+        base_static = trainer._static_for(max(it, 1))
+        st_spiral = dataclasses.replace(
+            base_static, total_num_views=max(n_sp, 2)
+        )
+        render_split(trainer, spiral, n_sp,
+                     os.path.join(base, "renders_spiral"), cfg, max_frames,
+                     not skip_video, static=st_spiral)
+        render_split(trainer, spiral, n_sp,
+                     os.path.join(base, "freezeframe_spiral"), cfg,
+                     max_frames, not skip_video, static=base_static,
+                     frame_id_override=cfg.model.total_num_views // 2)
+
+    if not skip_video and not skip_test:
+        from gftorf_tpu.video_panel import create_video_panel
+
+        render_input_split(trainer, trainer.scene.test_frames,
+                           len(trainer.scene.data.test_cameras),
+                           os.path.join(model_path, "input"), cfg,
+                           max_frames)
+        create_video_panel(model_path, it,
+                           scene_type=trainer.scene.scene_type)
     print(f"renders written to {base}")
     return base

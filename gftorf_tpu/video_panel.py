@@ -1,0 +1,134 @@
+"""Comparison video panels: per-channel rows of annotated clips
+(Input | Ours | Spiral | FreezeFrameSpiral), the counterpart of the
+reference's moviepy-based create_video_panel (render.py:226-285).
+
+This image has no ffmpeg backend, so _write_video probes for an mp4
+writer and falls back to GIF; composition is plain numpy + cv2 text.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import List, Optional
+
+import numpy as np
+
+_LABEL_H = 16
+_MARGIN = 6
+
+
+def _write_video(path_base: str, frames: List[np.ndarray], fps: float) -> str:
+    """Write frames as mp4 when an ffmpeg backend exists, else GIF.
+    Returns the written path."""
+    import imageio.v2 as imageio
+
+    try:
+        w = imageio.get_writer(path_base + ".mp4", fps=fps)
+        for f in frames:
+            w.append_data(f)
+        w.close()
+        return path_base + ".mp4"
+    except Exception:
+        imageio.mimsave(path_base + ".gif", frames, duration=1.0 / fps)
+        return path_base + ".gif"
+
+
+def _annotate(img: np.ndarray, label: str) -> np.ndarray:
+    """White margin + label strip above the clip (the reference's
+    moviepy margin(10, white) + TextClip overlay)."""
+    import cv2
+
+    if img.ndim == 2:
+        img = np.repeat(img[..., None], 3, axis=-1)
+    h, w = img.shape[:2]
+    out = np.full((h + _LABEL_H + 2 * _MARGIN, w + 2 * _MARGIN, 3), 255,
+                  np.uint8)
+    out[_LABEL_H + _MARGIN:_LABEL_H + _MARGIN + h,
+        _MARGIN:_MARGIN + w] = img
+    cv2.putText(out, label, (_MARGIN, _LABEL_H - 2),
+                cv2.FONT_HERSHEY_SIMPLEX, 0.35, (0, 0, 0), 1, cv2.LINE_AA)
+    return out
+
+
+def _load_clip(folder: str) -> Optional[List[np.ndarray]]:
+    import imageio.v2 as imageio
+
+    if not os.path.isdir(folder):
+        return None
+    files = sorted(f for f in os.listdir(folder) if f.endswith(".png"))
+    if not files:
+        return None
+    return [imageio.imread(os.path.join(folder, f)) for f in files]
+
+
+def create_video_panel(model_path: str, iteration: int, fps: float = 10.0,
+                       input_folder: str = "input",
+                       renders_base: Optional[str] = None,
+                       scene_type: str = "torf") -> Optional[str]:
+    """Compose the per-channel comparison grid across splits.
+
+    Rows: one per channel (color/real/imag only for non-ftorf scenes,
+    matching render.py:227-252). Columns: input GT, test renders, and
+    for torf scenes the spiral + freeze-frame-spiral sweeps. Splits of
+    different lengths loop (shorter clips repeat).
+    """
+    renders_base = renders_base or os.path.join(
+        model_path, f"renders_{iteration}"
+    )
+    channels = ["depth", "depth_tof", "amp"]
+    if scene_type != "ftorf":
+        channels = ["color"] + channels + ["real", "imag"]
+
+    columns = [(os.path.join(model_path, input_folder), "Input")]
+    columns.append((os.path.join(renders_base, "test"), "Ours"))
+    if scene_type == "torf":
+        columns.append(
+            (os.path.join(renders_base, "renders_spiral"), "Ours_Spiral")
+        )
+        columns.append(
+            (os.path.join(renders_base, "freezeframe_spiral"),
+             "Ours_FreezeFrame")
+        )
+
+    rows = []
+    n_frames = 0
+    for ch in channels:
+        cells = []
+        for folder, label in columns:
+            clip = _load_clip(os.path.join(folder, ch))
+            if clip:
+                cells.append(([_annotate(f, f"{label}({ch})") for f in clip]))
+                n_frames = max(n_frames, len(clip))
+        if cells:
+            rows.append(cells)
+    if not rows or n_frames == 0:
+        return None
+
+    # Uniform cell size per row; stack rows vertically (white bg).
+    panel_frames = []
+    for t in range(n_frames):
+        row_imgs = []
+        for cells in rows:
+            imgs = [c[t % len(c)] for c in cells]
+            h = max(i.shape[0] for i in imgs)
+            w = max(i.shape[1] for i in imgs)
+            padded = []
+            for i in imgs:
+                p = np.full((h, w, 3), 255, np.uint8)
+                p[: i.shape[0], : i.shape[1]] = i
+                padded.append(p)
+            row_imgs.append(np.concatenate(padded, axis=1))
+        wmax = max(r.shape[1] for r in row_imgs)
+        full = []
+        for r in row_imgs:
+            p = np.full((r.shape[0], wmax, 3), 255, np.uint8)
+            p[:, : r.shape[1]] = r
+            full.append(p)
+        panel_frames.append(np.concatenate(full, axis=0))
+
+    out = _write_video(
+        os.path.join(model_path, f"iteration_{iteration}_video_panel"),
+        panel_frames, fps,
+    )
+    print(f"[video_panel]: {out}")
+    return out

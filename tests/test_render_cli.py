@@ -28,6 +28,31 @@ def trained_model(tmp_path_factory):
     trainer = Trainer(cfg)
     for _ in range(10):
         trainer.step()
+    trainer.drain()
+    save_scene_artifacts(trainer, 10)
+    return str(model_dir)
+
+
+@pytest.fixture(scope="module")
+def trained_torf_model(tmp_path_factory):
+    scene_dir = tmp_path_factory.mktemp("scene_torf")
+    model_dir = tmp_path_factory.mktemp("model_torf")
+    write_dataset(str(scene_dir), num_frames=4, width=48, height=32,
+                  torf_layout=True)
+    cfg = Config.from_dict(dict(
+        source_path=str(scene_dir), model_path=str(model_dir),
+        total_num_views=4, tof_image_width=48, tof_image_height=32,
+        color_image_width=48, color_image_height=32,
+        depth_range=15.0, num_points=500, iterations=10,
+        warm_up=1000, densify_from_iter=1000, densify_until_iter=5,
+        lambda_color=0.5, use_quad=False, dynamic=True,
+        dataset_type="synthetic", total_num_spiral_views=6,
+    ))
+    cfg.save(cfg.model.model_path)
+    trainer = Trainer(cfg)
+    for _ in range(10):
+        trainer.step()
+    trainer.drain()
     save_scene_artifacts(trainer, 10)
     return str(model_dir)
 
@@ -49,3 +74,36 @@ def test_render_sets(trained_model):
     img = imageio.imread(os.path.join(test_dir, "color", "0000.png"))
     assert img.shape[:2] == (32, 48)
     assert img.max() > 0  # rendered something
+
+    # input split + combined comparison panel (GIF fallback: no ffmpeg
+    # backend in this image)
+    assert os.path.exists(
+        os.path.join(trained_model, "input", "amp", "0000.png")
+    )
+    panel = [f for f in os.listdir(trained_model)
+             if f.startswith("iteration_10_video_panel")]
+    assert panel, "video panel missing"
+
+
+def test_render_sets_spiral(trained_torf_model):
+    """ToRF models also render the spiral + freeze-frame-spiral paths
+    (reference render.py:352-357)."""
+    from gftorf_tpu.render_sets import render_sets
+
+    base = render_sets(trained_torf_model, iteration=10, skip_train=True,
+                       skip_video=True, max_frames=2)
+    for split in ("renders_spiral", "freezeframe_spiral"):
+        for ch in ("real", "depth"):
+            p = os.path.join(base, split, ch, "0001.png")
+            assert os.path.exists(p), f"missing {p}"
+    import imageio
+
+    a = imageio.imread(
+        os.path.join(base, "renders_spiral", "depth", "0000.png")
+    )
+    b = imageio.imread(
+        os.path.join(base, "renders_spiral", "depth", "0001.png")
+    )
+    assert a.shape[:2] == (32, 48)
+    # distinct spiral viewpoints must render distinct images
+    assert np.any(a != b)
