@@ -176,6 +176,8 @@ class TpuParams:
     capacity_growth: float = 1.5
     # Steps to lag metric fetches behind dispatch (0 = synchronous).
     metrics_lag: int = 1
+    # --debug image-dump cadence (reference dumps every camera visit).
+    debug_interval: int = 200
     mesh_shards: int = 1  # devices for tile/primitive sharding
     mesh_data: int = 1  # devices for camera data-parallelism
     use_pallas: bool = True

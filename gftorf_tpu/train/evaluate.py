@@ -105,24 +105,34 @@ def eval_frame(static: StepStatic, params, deform_params, alive,
 
 def evaluate_split(trainer, frames: FrameData, n_frames: int,
                    max_frames: int = 0) -> dict:
+    from gftorf_tpu.utils.metrics import lpips, lpips_available
+
     static = trainer._static_for(trainer.iteration or 1)
+    use_lpips = lpips_available()
     totals = None
     count = 0
     idxs = range(n_frames if not max_frames else min(n_frames, max_frames))
     for i in idxs:
         frame = jax.tree.map(lambda a: a[i], frames)
-        metrics, _, _ = eval_frame(
+        metrics, out_color, _ = eval_frame(
             static, trainer.model.params, trainer.deform,
             trainer.model.aux.alive, frame,
         )
         metrics = {k: float(v) for k, v in metrics.items()}
+        if use_lpips:
+            metrics["lpips"] = float(lpips(out_color.color, frame.gt_image))
         if totals is None:
             totals = dict(metrics)
         else:
             for k, v in metrics.items():
                 totals[k] += v
         count += 1
-    return {k: v / count for k, v in totals.items()}
+    out = {k: v / count for k, v in totals.items()}
+    if not use_lpips:
+        # weights unobtainable in this image (no egress); see
+        # tools/convert_lpips_weights.py
+        out["lpips"] = None
+    return out
 
 
 def evaluate_and_report(trainer, max_frames: int = 0) -> dict:

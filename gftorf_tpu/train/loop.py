@@ -228,6 +228,7 @@ class Trainer:
         now = time.perf_counter()
         out = {
             "iteration": rec["it"],
+            "idx": int(np.atleast_1d(rec["idx"])[0]),
             "loss": loss,
             "l1_p": metrics["l1_p"],
             "ema_loss": self.ema_loss,

@@ -53,18 +53,30 @@ def _alexnet_features(x, params):
     return feats
 
 
+def lpips_weights_path(weights_path: Optional[str] = None) -> Optional[str]:
+    """Resolve the converted LPIPS weights npz, or None when absent
+    (tools/convert_lpips_weights.py produces it on a networked machine;
+    this image cannot — eval then reports lpips as n/a)."""
+    path = weights_path or os.environ.get("GFTORF_LPIPS_WEIGHTS", "")
+    return path if path and os.path.exists(path) else None
+
+
+def lpips_available(weights_path: Optional[str] = None) -> bool:
+    return lpips_weights_path(weights_path) is not None
+
+
 def lpips(img1, img2, weights_path: Optional[str] = None):
     """LPIPS distance between (3, H, W) images in [0, 1].
 
-    Requires a weights file (npz with conv{i}_w/b and lin{i}_w arrays,
-    convertible from the lpips pip package's checkpoints).
+    Requires a weights file (npz with conv{i}_w/b and lin{i}_w arrays;
+    see tools/convert_lpips_weights.py).
     """
-    path = weights_path or os.environ.get("GFTORF_LPIPS_WEIGHTS", "")
-    if not path or not os.path.exists(path):
+    path = lpips_weights_path(weights_path)
+    if path is None:
         raise FileNotFoundError(
-            "LPIPS needs pretrained feature weights; set "
-            "GFTORF_LPIPS_WEIGHTS to a converted .npz (no network egress "
-            "in this environment to fetch them)."
+            "LPIPS needs pretrained feature weights; convert them with "
+            "tools/convert_lpips_weights.py on a networked machine and "
+            "set GFTORF_LPIPS_WEIGHTS (no network egress here)."
         )
     params = {k: jnp.asarray(v) for k, v in np.load(path).items()}
 

@@ -130,9 +130,20 @@ def main(argv=None):
                     f"pts {out['num_points']} vis {out['visible']} "
                     f"{out['iter_time']*1e3:.1f} ms", flush=True,
                 )
+            if cfg.pipe.debug and (oit % cfg.tpu.debug_interval == 0
+                                   or oit == 1):
+                from gftorf_tpu.train.debug import dump_debug_images
+
+                dump_debug_images(trainer, out["idx"], oit)
         if it in test_iters:
+            from gftorf_tpu.train.debug import param_histograms
+
             report = evaluate_and_report(trainer)
             log_f.write(json.dumps({"eval": report, "iteration": it}) + "\n")
+            log_f.write(json.dumps({
+                "histograms": param_histograms(trainer.model),
+                "iteration": it,
+            }) + "\n")
             log_f.flush()
             if not args.quiet:
                 print(f"[eval {it}] {report}", flush=True)
