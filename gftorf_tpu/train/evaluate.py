@@ -29,7 +29,7 @@ def eval_frame(static: StepStatic, params, deform_params, alive,
     n = params.xyz.shape[0]
     if static.dynamic_on:
         d_xyz, d_rot, d_sh, d_sh_p, _, _ = _query_deform(
-            static, deform_params, params, frame.frame_id
+            static, deform_params, params, frame.frame_id, alive=alive
         )
     else:
         m = (static.deform.sh_degree + 1) ** 2

@@ -72,6 +72,85 @@ def save_scene_artifacts(trainer, iteration: int) -> str:
     return out
 
 
+def write_proxy_pcds(trainer, iteration: int, max_frames: int = 0) -> str:
+    """Per-frame proxy point clouds: the GT ToF depth (red) and the
+    rendered depth (blue) back-projected to world space, written as
+    model_path/proxy_pcd/frame_N/input.ply alongside cameras.json and a
+    copy of the trained point cloud — the reference's depth-map proxy
+    export (dataset_readers.py:608-713, 1005-1120 + scene/__init__.py:
+    150-166), used to inspect geometry against the raw sensor."""
+    import json
+    import shutil
+
+    import jax
+
+    from gftorf_tpu.data.scene import camera_to_json, take_frame
+    from gftorf_tpu.ops.flow import distance_to_points3d
+    from gftorf_tpu.ops.tof import depth_from_tof
+    from gftorf_tpu.train.evaluate import eval_frame
+
+    cfg = trainer.cfg
+    model_path = cfg.model.model_path
+    static = trainer._static_for(max(trainer.iteration, 1))
+    frames = trainer.scene.train_frames
+    cams = trainer.scene.data.train_cameras
+    json_cams = [camera_to_json(i, c) for i, c in enumerate(cams)]
+    trained_ply = os.path.join(
+        model_path, "point_cloud", f"iteration_{iteration}",
+        "point_cloud.ply",
+    )
+
+    count = len(cams) if not max_frames else min(len(cams), max_frames)
+    root = os.path.join(model_path, "proxy_pcd")
+    for fid in range(count):
+        frame = take_frame(frames, fid)
+        _, _, out_tof = eval_frame(
+            static, trainer.model.params, trainer.deform,
+            trainer.model.aux.alive, frame,
+        )
+        k = np.asarray(frame.intrinsics_tof)
+        view_t = frame.cam_tof.viewmatrix
+
+        def backproject(dist_1hw):
+            pts = distance_to_points3d(
+                dist_1hw, view_t, k[0, 0], k[1, 1], k[0, 2], k[1, 2]
+            )
+            return np.asarray(pts).reshape(3, -1).T  # (HW, 3)
+
+        z_in = depth_from_tof(
+            np.moveaxis(np.asarray(frame.gt_phasor), 0, -1),
+            float(frame.cam_tof.depth_range), float(frame.phase_offset),
+        )[None]
+        pts_in = backproject(jax.numpy.asarray(z_in))
+        pts_render = backproject(out_tof.depth)
+        xyz = np.concatenate([pts_in, pts_render], axis=0)
+        n_half = pts_in.shape[0]
+        colors = np.zeros((2 * n_half, 3), np.uint8)
+        colors[:n_half, 0] = 255  # input depth: red
+        colors[n_half:, 2] = 255  # rendered depth: blue
+
+        frame_dir = os.path.join(root, f"frame_{fid}")
+        pc_dir = os.path.join(frame_dir, "point_cloud",
+                              f"iteration_{iteration}")
+        os.makedirs(pc_dir, exist_ok=True)
+        props = {}
+        props["x"], props["y"], props["z"] = xyz.T.astype(np.float32)
+        for name in ("nx", "ny", "nz"):
+            props[name] = np.zeros(2 * n_half, np.float32)
+        props["red"], props["green"], props["blue"] = colors.T
+        props["phase"] = np.zeros(2 * n_half, np.float32)
+        props["amplitude"] = np.zeros(2 * n_half, np.float32)
+        for name in ("seg_red", "seg_green", "seg_blue"):
+            props[name] = np.zeros(2 * n_half, np.uint8)
+        write_ply(os.path.join(frame_dir, "input.ply"), props)
+        with open(os.path.join(frame_dir, "cameras.json"), "w") as f:
+            json.dump(json_cams, f, indent=4)
+        if os.path.exists(trained_ply):
+            shutil.copy(trained_ply,
+                        os.path.join(pc_dir, "point_cloud.ply"))
+    return root
+
+
 def load_gaussians_from_ply(path: str, sh_degree: int = 3):
     """Load a point_cloud_full.ply back into GaussianParams arrays
     (host numpy), like GaussianModel.load_ply (gaussian_model.py:378-454)."""

@@ -129,6 +129,26 @@ class Trainer:
         else:
             self.render_regions = ("static", "dynamic")
 
+        self.deform_bucket = 0
+        self._update_deform_bucket()
+
+    def _update_deform_bucket(self):
+        """Deform-MLP compaction bucket: next pow2 over the dynamic+alive
+        count (+5% headroom). The count only changes at densify/prune
+        events, which is exactly when this is recalled; a bucket change
+        costs one recompile of the step."""
+        if not self.cfg.model.dynamic:
+            self.deform_bucket = 0
+            return
+        n_dyn = int(jnp.sum(
+            get_motion_mask(self.model.params) & self.model.aux.alive
+        ))
+        cap = int(self.model.aux.alive.shape[0])
+        b = 1024
+        while b < int(n_dyn * 1.05) + 1:
+            b *= 2
+        self.deform_bucket = 0 if b >= cap else b
+
     # ------------------------------------------------------------------
     def _raster_config(self, tof: bool):
         cfg = self.scene.raster_config(tof, self.cfg.model.sh_degree)
@@ -183,6 +203,7 @@ class Trainer:
             sched=SchedStatic.from_opt(opt, self.lambda_color,
                                        self.opacity_reset_interval),
             mesh_shape=self.mesh_shape,
+            deform_bucket=self.deform_bucket,
         )
 
     def _pick_camera(self) -> int:
@@ -322,6 +343,7 @@ class Trainer:
               and it % opt.densification_interval == 0):
             outs += self.drain()
             self.model = prune_only(self.model, opt.min_opacity)
+            self._update_deform_bucket()
 
         # tof_iters event (train.py:476-478)
         if it == opt.tof_iters:
@@ -348,13 +370,18 @@ class Trainer:
             )
             if int(dropped) == 0:
                 self.model = new_state
+                self._update_deform_bucket()
                 return
             # Grow capacity and replay (deterministic given the same key).
             cap = self.model.aux.alive.shape[0]
             new_cap = int(cap * self.cfg.tpu.capacity_growth) + int(dropped)
             new_cap = -(-new_cap // 1024) * 1024
             self.model = grow_capacity(self.model, new_cap)
+        print(f"[iter {self.iteration}] densification still dropping "
+              f"{int(dropped)} points after 4 capacity growths — "
+              "accepting truncated densify", flush=True)
         self.model = new_state
+        self._update_deform_bucket()
 
     def _reset_opacity(self):
         regions = self.render_regions
@@ -401,3 +428,4 @@ class Trainer:
         self.active_sh_degree = meta["active_sh_degree"]
         self.lambda_color = meta["lambda_color"]
         self.opacity_reset_interval = meta["opacity_reset_interval"]
+        self._update_deform_bucket()

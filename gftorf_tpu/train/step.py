@@ -282,6 +282,10 @@ class StepStatic:
     # across slices), 'shard' splits each render's primitives + tile rows
     # (TP/SP analog, parallel/sharded.py) and row-shards the deform MLP.
     mesh_shape: Optional[Tuple[int, int]] = None
+    # Dynamic-compaction bucket for the deform MLP (0 = evaluate all
+    # capacity slots). Host-tracked: next pow2 >= dynamic+alive count,
+    # recomputed at densify/prune events (count is constant in between).
+    deform_bucket: int = 0
 
 
 class StepAux(NamedTuple):
@@ -338,18 +342,50 @@ def _apply_deform_rows(deform_params, config, xyz_n, t, shard_axis):
     )
 
 
+def _deform_slots(static: StepStatic, params, alive):
+    """Dynamic-compacted MLP input rows.
+
+    The reference evaluates the deform MLP only on the dynamic subset
+    (gaussian_model.py:170-174); evaluating all capacity slots costs
+    2-3x the live count. With ``static.deform_bucket`` (host-tracked
+    next-pow2 of the dynamic count — constant between densify events)
+    we gather the dynamic+alive rows into a (B,) bucket, run the MLP
+    there, and scatter back with OOB padding indices dropped.
+
+    Returns (xyz_n_rows, expand) where expand maps (B, ...) -> (N, ...)
+    with zeros on non-dynamic slots (identity when compaction is off).
+    """
+    xyz_n = jax.lax.stop_gradient(params.xyz) / static.scene_extent
+    n = xyz_n.shape[0]
+    b = static.deform_bucket
+    if not b or b >= n or alive is None:
+        return xyz_n, (lambda d: d)
+    mask = get_motion_mask(params) & alive
+    (idx,) = jnp.where(mask, size=b, fill_value=n)
+    rows = xyz_n[jnp.minimum(idx, n - 1)]
+
+    def expand(d_b):
+        return (
+            jnp.zeros((n,) + d_b.shape[1:], d_b.dtype)
+            .at[idx].set(d_b, mode="drop")
+        )
+
+    return rows, expand
+
+
 def _query_deform(static: StepStatic, deform_params, params, fid,
-                  shard_axis=None):
+                  shard_axis=None, alive=None):
     """d_xyz for every point (masked to dynamic by callers); mirrors
     query_dmlp + the F-ToRF interpolation (train.py:164-177)."""
-    xyz_n = jax.lax.stop_gradient(params.xyz) / static.scene_extent
+    xyz_n, expand = _deform_slots(static, params, alive)
     denom = max(static.total_num_views - 1, 1)
 
     def q(t_scalar):
         t = jnp.broadcast_to(t_scalar, (xyz_n.shape[0], 1))
-        return _apply_deform_rows(
+        d = _apply_deform_rows(
             deform_params, static.deform, xyz_n, t, shard_axis
         )
+        return tuple(expand(x) for x in d)
 
     if static.scene_type == "torf":
         d_xyz, d_rot, d_sh, d_sh_p = q(fid.astype(jnp.float32) / denom)
@@ -501,7 +537,7 @@ def train_step(
 
         if static.dynamic_on:
             d_xyz, d_rot, d_sh, d_sh_p, d_curr, d_next = _query_deform(
-                static, dfp, p, frame.frame_id, shard_axis
+                static, dfp, p, frame.frame_id, shard_axis, aux.alive
             )
         else:
             zeros3 = jnp.zeros((n_points, 3))
@@ -644,11 +680,12 @@ def train_step(
                 # backward flow needs d_prev
                 denom = max(static.total_num_views - 1, 1)
                 prev_t = ((frame.frame_id // 4) * 4 - 4).astype(jnp.float32) / denom
-                xyz_n = jax.lax.stop_gradient(p.xyz) / static.scene_extent
-                d_prev, _, _, _ = _apply_deform_rows(
-                    dfp, static.deform, xyz_n,
-                    jnp.broadcast_to(prev_t, (n_points, 1)), shard_axis,
+                rows, expand = _deform_slots(static, p, aux.alive)
+                d_prev_b, _, _, _ = _apply_deform_rows(
+                    dfp, static.deform, rows,
+                    jnp.broadcast_to(prev_t, (rows.shape[0], 1)), shard_axis,
                 )
+                d_prev = expand(d_prev_b)
                 bwd = render_flow(d_prev - d_xyz)
                 bwd2d = project_flow(pts2d, pts3d, bwd, view_tof, k_tof)
                 b_l2 = jnp.where(

@@ -27,6 +27,9 @@ def main(argv=None):
     parser.add_argument("--skip_test", action="store_true")
     parser.add_argument("--skip_video", action="store_true")
     parser.add_argument("--max_frames", type=int, default=0)
+    parser.add_argument("--proxy_pcd", action="store_true",
+                        help="write per-frame GT-vs-rendered depth proxy "
+                             "point clouds (proxy_pcd/frame_N/input.ply)")
     parser.add_argument("--platform", type=str, default=None)
     args = parser.parse_args(argv)
 
@@ -40,6 +43,14 @@ def main(argv=None):
     render_sets(args.model_path, args.iteration, skip_train=args.skip_train,
                 skip_test=args.skip_test, skip_video=args.skip_video,
                 max_frames=args.max_frames)
+
+    if args.proxy_pcd:
+        from gftorf_tpu.render_sets import load_trained
+        from gftorf_tpu.train.export import write_proxy_pcds
+
+        trainer, _, it = load_trained(args.model_path, args.iteration)
+        out = write_proxy_pcds(trainer, it, max_frames=args.max_frames)
+        print(f"proxy point clouds written to {out}")
 
 
 if __name__ == "__main__":

@@ -85,6 +85,28 @@ def test_render_sets(trained_model):
     assert panel, "video panel missing"
 
 
+def test_proxy_pcd_export(trained_model):
+    """GT-vs-rendered depth proxy point clouds
+    (dataset_readers.py:1005-1120 counterpart)."""
+    from gftorf_tpu.render_sets import load_trained
+    from gftorf_tpu.train.export import write_proxy_pcds
+    from gftorf_tpu.utils.ply import read_ply
+
+    trainer, _, it = load_trained(trained_model, 10)
+    root = write_proxy_pcds(trainer, it, max_frames=2)
+    props = read_ply(os.path.join(root, "frame_0", "input.ply"))
+    n = len(props["x"])
+    assert n == 2 * 48 * 32  # input + rendered back-projections
+    assert np.isfinite(props["x"]).all()
+    # first half red (GT), second half blue (rendered)
+    assert props["red"][0] == 255 and props["blue"][0] == 0
+    assert props["blue"][-1] == 255 and props["red"][-1] == 0
+    assert os.path.exists(os.path.join(root, "frame_1", "cameras.json"))
+    assert os.path.exists(os.path.join(
+        root, "frame_0", "point_cloud", f"iteration_{it}", "point_cloud.ply"
+    ))
+
+
 def test_render_sets_spiral(trained_torf_model):
     """ToRF models also render the spiral + freeze-frame-spiral paths
     (reference render.py:352-357)."""

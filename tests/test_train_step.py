@@ -269,6 +269,51 @@ def test_ftorf_deform_discards_sh_deltas():
     assert float(jnp.max(jnp.abs(d_sh_t))) > 0.0
 
 
+def test_deform_bucket_compaction_matches_full():
+    """Bucket-compacted deform evaluation (deform_bucket > 0) must equal
+    full-capacity evaluation on the dynamic+alive rows, and produce
+    exact zeros elsewhere (the reference only ever evaluates the dynamic
+    subset, gaussian_model.py:170-174)."""
+    from gftorf_tpu.train.step import _query_deform
+    from gftorf_tpu.models.gaussians import get_motion_mask
+
+    deform_cfg = DeformConfig(depth=4, width=32, sh_degree=1)
+    dfp = init_deform(jax.random.PRNGKey(3), deform_cfg)
+    dfp = dfp._replace(head_w={k: w * 1e4 for k, w in dfp.head_w.items()})
+    params = params_from_scene(make_scene(jax.random.PRNGKey(4), 64, 16, 16))
+    # 20 dynamic points, a few dead slots
+    params = params._replace(
+        seg_color=params.seg_color.at[:20, 0].set(1.0)
+    )
+    alive = jnp.ones((64,), bool).at[5].set(False).at[63].set(False)
+
+    def mk(bucket):
+        return StepStatic(
+            scene_type="torf", config_color=None, config_tof=None,
+            deform=deform_cfg, active_sh_degree=1, total_num_views=9,
+            render_regions=("static", "dynamic"), dynamic_on=True,
+            sync_phase=False, use_quad=False, use_wl1c=False,
+            use_wl1p=False, wl1p_e=0.1, num_phasor_channels=2,
+            color_on=True, depth_on=False, dd_on=False, oe_on=False,
+            scale_on=False, mlp_reg_on=False, flow_on=False,
+            optimize_phase_offset=False, optimize_dc_offset=False,
+            random_bg=False, scene_extent=5.0, deform_bucket=bucket,
+        )
+
+    full = _query_deform(mk(0), dfp, params, jnp.int32(3), alive=alive)
+    comp = _query_deform(mk(32), dfp, params, jnp.int32(3), alive=alive)
+    mask = np.asarray(get_motion_mask(params) & alive)
+    for f, c, name in zip(full, comp,
+                          ["d_xyz", "d_rot", "d_sh", "d_sh_p", "dc", "dn"]):
+        f, c = np.asarray(f), np.asarray(c)
+        sel = mask.reshape((-1,) + (1,) * (f.ndim - 1))
+        np.testing.assert_allclose(
+            np.where(sel, f, 0.0), c, atol=1e-5, err_msg=name
+        )
+        # compacted output is exactly zero outside the bucket
+        assert np.all(c[~mask] == 0.0), name
+
+
 def test_injit_schedule_matches_host_schedule():
     """The in-jit lr schedules (step._gaussian_lrs_at/_deform_lr_at) must
     agree with the host-side reference implementation (train/schedule.py,
