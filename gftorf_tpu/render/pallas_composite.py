@@ -157,10 +157,12 @@ def _forward_kernel(counts_ref, origins_ref, feat_ref, bg_ref,
         sums_w = jax.lax.dot_general(
             w, f, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
         )  # (PIX, 12): cols 0:4 (rgb,dist) valid
         sums_wp = jax.lax.dot_general(
             w_p, f, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
         )  # cols 4:11 (phasor) valid
         acc_c = jnp.sum(w, axis=-1, keepdims=True)
 
@@ -302,10 +304,12 @@ def _backward_kernel(counts_ref, origins_ref, feat_ref, bg_ref,
         e = jax.lax.dot_general(
             g[:, 0:4], f[0:4, :], (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
         ) + g_acc  # (PIX, CL)
         e_p = jax.lax.dot_general(
             g[:, 4:11], f[4:11, :], (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
         )
         sym = (z[None, :] * z[None, :] * a_tot - 2.0 * z[None, :] * wz_tot
                + wz2_tot)
@@ -338,10 +342,12 @@ def _backward_kernel(counts_ref, origins_ref, feat_ref, bg_ref,
         d_f = jax.lax.dot_general(
             g[:, 0:4], w, (((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
         )  # (4, CL): rgb + dist grads
         d_p = jax.lax.dot_general(
             g[:, 4:11], w_p, (((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
         )  # (7, CL)
 
         zero_row = jnp.zeros((1, chunk), jnp.float32)
