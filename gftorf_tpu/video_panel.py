@@ -61,6 +61,62 @@ def _load_clip(folder: str) -> Optional[List[np.ndarray]]:
     return [imageio.imread(os.path.join(folder, f)) for f in files]
 
 
+def _placeholder(shape, label):
+    import cv2
+
+    img = np.full(shape, 230, np.uint8)
+    cv2.putText(img, label, (4, shape[0] // 2), cv2.FONT_HERSHEY_SIMPLEX,
+                0.4, (90, 90, 90), 1, cv2.LINE_AA)
+    return img
+
+
+def create_website_panel(model_path: str, iteration: int,
+                         traj_dir: Optional[str] = None,
+                         fps: float = 10.0) -> Optional[str]:
+    """The paper/website comparison panel (render_ftorf_viz_traj.py:
+    528-600): [C-ToF input depth | baseline methods | Ours 4x-interp
+    depth | Ours 3D-trajectory overlay]. Baseline clips are read from
+    model_path/baselines/<name>/ when present, else placeholder tiles —
+    the reference hard-codes paths to TöRF/F-TöRF/DeformableGS renders
+    that only exist after running those codebases."""
+    traj_dir = traj_dir or os.path.join(model_path, f"traj_{iteration}")
+    cells = [
+        (os.path.join(model_path, "input", "depth"), "C-ToF"),
+        (os.path.join(model_path, "baselines", "torf"), "ToRF"),
+        (os.path.join(model_path, "baselines", "ftorf"), "F-ToRF"),
+        (os.path.join(traj_dir, "depth_quad"), "Ours (4x interp)"),
+        (os.path.join(traj_dir, "traj"), "Ours (3D trajectories)"),
+    ]
+    clips, n_frames, shape = [], 0, None
+    for folder, label in cells:
+        clip = _load_clip(folder)
+        if clip:
+            clip = [_annotate(f, label) for f in clip]
+            n_frames = max(n_frames, len(clip))
+            shape = clip[0].shape
+        clips.append((clip, label))
+    if n_frames == 0:
+        return None
+    frames = []
+    for t in range(n_frames):
+        row = []
+        for clip, label in clips:
+            if clip:
+                row.append(clip[t % len(clip)])
+            else:
+                row.append(_placeholder(shape, f"{label}: n/a"))
+        h = max(r.shape[0] for r in row)
+        row = [np.pad(r, ((0, h - r.shape[0]), (0, 0), (0, 0)),
+                      constant_values=255) for r in row]
+        frames.append(np.concatenate(row, axis=1))
+    out = _write_video(
+        os.path.join(model_path, f"iteration_{iteration}_website_panel"),
+        frames, fps,
+    )
+    print(f"[website_panel]: {out}")
+    return out
+
+
 def create_video_panel(model_path: str, iteration: int, fps: float = 10.0,
                        input_folder: str = "input",
                        renders_base: Optional[str] = None,

@@ -52,6 +52,10 @@ def main(argv=None):
     out_dir = os.path.join(args.model_path, f"traj_{it}")
     os.makedirs(os.path.join(out_dir, "depth_quad"), exist_ok=True)
     os.makedirs(os.path.join(out_dir, "traj"), exist_ok=True)
+    for q in range(4):
+        os.makedirs(os.path.join(out_dir, f"depth_q{q}"), exist_ok=True)
+        os.makedirs(os.path.join(out_dir, f"quad_q{q}"), exist_ok=True)
+    inv_perm = list(trainer.scene.tof_inverse_permutation)
 
     scene = trainer.scene
     static = trainer._static_for(max(trainer.iteration, 1))
@@ -100,6 +104,19 @@ def main(argv=None):
         )
         depth_frames.append(dimg)
 
+        # per-quad-slot sequences (reference depth_qK / quad_qK at fps/4)
+        q = int(frame.frame_id) % 4
+        imageio.imwrite(
+            os.path.join(out_dir, f"depth_q{q}", f"{fid:04d}.png"), dimg
+        )
+        phasor = np.asarray(out_tof.phasor)
+        quad_im = np.abs(phasor[3:][inv_perm][q])
+        quad_im = quad_im / max(float(quad_im.max()), 1e-6)
+        imageio.imwrite(
+            os.path.join(out_dir, f"quad_q{q}", f"{fid:04d}.png"),
+            to8b(quad_im),
+        )
+
         if idx_sel.size:
             t = jnp.full((idx_sel.size, 1), fid / denom)
             d_xyz = apply_deform(
@@ -139,6 +156,10 @@ def main(argv=None):
     if len(traj_frames) > 1:
         imageio.mimsave(os.path.join(out_dir, "traj.gif"),
                         traj_frames, duration=0.08)
+
+    from gftorf_tpu.video_panel import create_website_panel
+
+    create_website_panel(args.model_path, it, traj_dir=out_dir)
     print(f"trajectory renders written to {out_dir}")
     return out_dir
 
