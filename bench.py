@@ -1,16 +1,18 @@
 #!/usr/bin/env python
-"""Benchmark: rasterizer fwd+bwd throughput at 640x480 (Mpix/s/chip).
-
-Prints ONE JSON line:
+"""Headline benchmark. Prints ONE JSON line:
     {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
 
-Baseline: the reference sustains ~0.9 Mpix/s fwd+bwd on an RTX 3090
-(20k iters x 2 renders x 76.8 kpix in <=3600 s; BASELINE.md).
+Default = the END-TO-END training step at the reference's workload
+(320x240, 50k pts, quads+deform+flow; baseline 180 ms/iter = 20k iters
+in <=3600 s on an RTX 3090, BASELINE.md) — delegates to bench_train.py.
+`--rasterizer` runs the raw rasterizer fwd+bwd throughput bench instead
+(baseline ~0.9 Mpix/s on the 3090 envelope).
 """
 
 from __future__ import annotations
 
 import json
+import sys
 import time
 
 import jax
@@ -20,6 +22,11 @@ BASELINE_MPIX_S = 0.9
 
 
 def main():
+    if "--rasterizer" not in sys.argv:
+        from bench_train import main as train_main
+
+        sys.argv = [sys.argv[0]]
+        return train_main()
     from gftorf_tpu.data.synthetic import make_scene
     from gftorf_tpu.render.rasterize import rasterize
 

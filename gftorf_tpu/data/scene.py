@@ -246,6 +246,43 @@ def camera_to_json(idx: int, cam: CameraRecord, full: bool = False) -> dict:
     return entry
 
 
+def write_scene_bounds_png(scene: "Scene", model_path: str) -> None:
+    """3D scatter of camera positions/directions/frustum corners —
+    the reference's init-time sanity plot (torf_utils.py:437-466)."""
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    cams = scene.data.train_cameras
+    pos = np.array([-(c.R_tof @ c.T_tof) for c in cams])
+    dirs = np.array([c.R_tof[:, 2] for c in cams])
+
+    fig = plt.figure(figsize=(10, 7))
+    ax = plt.axes(projection="3d")
+    ax.scatter3D(pos[:, 0], pos[:, 1], pos[:, 2], color="green")
+    for p, d in zip(pos, dirs):
+        ax.quiver(p[0], p[1], p[2], d[0], d[1], d[2], color="red",
+                  length=3, normalize=True)
+    for c in cams:
+        right, up, fwd = c.R_tof[:, 0], c.R_tof[:, 1], c.R_tof[:, 2]
+        center = -(c.R_tof @ c.T_tof)
+        corners = []
+        for z in (c.znear, c.zfar):
+            h = 2.0 * np.tan(c.fov_y_tof / 2.0) * z
+            w = 2.0 * np.tan(c.fov_x_tof / 2.0) * z
+            for sy in (1, -1):
+                for sx in (-1, 1):
+                    corners.append(center + fwd * z + up * (sy * h / 2)
+                                   + right * (sx * w / 2))
+        corners = np.array(corners)
+        ax.scatter3D(corners[:, 0], corners[:, 1], corners[:, 2],
+                     color="blue", s=4)
+    plt.title("Camera Poses")
+    plt.savefig(os.path.join(model_path, "scene_bounds.png"))
+    plt.close(fig)
+
+
 def write_scene_metadata(scene: "Scene", model_path: str) -> None:
     """cameras.json / cameras_full.json / nerf_normalization.json + the
     SIBR-style cfg_args line (scene/__init__.py:63-83, train.py:496-498)."""

@@ -101,7 +101,8 @@ def render_split(trainer, frames, n_frames, out_dir, cfg, max_frames=0,
     os.makedirs(out_dir, exist_ok=True)
     if static is None:
         static = trainer._static_for(max(trainer.iteration, 1))
-    chans = ["color", "real", "imag", "amp", "depth", "depth_tof", "dd"]
+    chans = ["color", "real", "imag", "amp", "depth", "depth_norm",
+             "depth_tof", "dd"]
     if cfg.opt.use_quad:
         chans.append("quad")
     for ch in chans:
@@ -137,6 +138,7 @@ def render_split(trainer, frames, n_frames, out_dir, cfg, max_frames=0,
             "imag": to8b(np.abs(imag)),
             "amp": to8b(normalize_im(amp)),
             "depth": depth_to_disp_viz(depth, depth_range),
+            "depth_norm": to8b(normalize_im(depth)),
             "depth_tof": depth_to_disp_viz(depth_tof, depth_range),
             "dd": to8b(normalize_im(dd)),
         }

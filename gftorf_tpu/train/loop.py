@@ -70,10 +70,14 @@ class Trainer:
         self.key = jax.random.PRNGKey(m.seed)
 
         if m.model_path:
-            from gftorf_tpu.data.scene import write_scene_metadata
+            from gftorf_tpu.data.scene import (
+                write_scene_bounds_png,
+                write_scene_metadata,
+            )
 
             try:
                 write_scene_metadata(self.scene, m.model_path)
+                write_scene_bounds_png(self.scene, m.model_path)
             except OSError:
                 pass
 

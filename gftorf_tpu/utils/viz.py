@@ -46,6 +46,37 @@ def depth_to_disp_viz(depth, depth_range, min_fac=0.05, max_fac=0.55):
     return to8b(cm.magma(np.clip(disp, 0, 1))[..., :3])
 
 
+# Per-scene near/far viz windows for the paper depth videos
+# (torf_utils.py:474-495 — published constants, kept verbatim).
+PAPER_VIZ_BOUNDS = {
+    "sliding_cube": (0.07, 0.24, 15),
+    "occlusion": (0.03, 0.21, 15),
+    "speed_test_texture": (0.08, 0.32, 15),
+    "speed_test_chair": (0.08, 0.32, 15),
+    "arcing_cube": (0.03, 0.38, 15),
+    "z_motion_speed_test": (0.06, 0.34, 15),
+    "acute_z_speed_test": (0.01, 0.52, 15),
+}
+
+
+def paper_viz_bounds(scene_name: str):
+    """(near, far, has_gt) disparity-viz window for a scene name."""
+    if scene_name in PAPER_VIZ_BOUNDS:
+        nf, ff, md = PAPER_VIZ_BOUNDS[scene_name]
+        return nf * md * 0.9, ff * md * 1.1, True
+    if "data_color" in scene_name:
+        return 0.45, 6.05, False
+    return 0.135, 10.725, False
+
+
+def depth_to_disp_viz_window(depth, lo, hi):
+    """Magma disparity with an explicit (lo, hi) depth window."""
+    from matplotlib import cm
+
+    disp = 1.0 - (depth - lo) / (hi - lo)
+    return to8b(cm.magma(np.clip(disp, 0, 1))[..., :3])
+
+
 def flow_to_image(flow, flow_ref=None):
     """Middlebury-style flow wheel visualization (torf_utils.py:150-305,
     simplified HSV implementation with the same normalization rule)."""

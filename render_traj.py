@@ -46,7 +46,11 @@ def main(argv=None):
     from gftorf_tpu.render_sets import load_trained
     from gftorf_tpu.data.scene import take_frame
     from gftorf_tpu.train.evaluate import eval_frame
-    from gftorf_tpu.utils.viz import depth_to_disp_viz, to8b
+    from gftorf_tpu.utils.viz import (
+        depth_to_disp_viz_window,
+        paper_viz_bounds,
+        to8b,
+    )
 
     trainer, cfg, it = load_trained(args.model_path, args.iteration)
     out_dir = os.path.join(args.model_path, f"traj_{it}")
@@ -59,6 +63,9 @@ def main(argv=None):
 
     scene = trainer.scene
     static = trainer._static_for(max(trainer.iteration, 1))
+    # paper disparity window keyed by scene name (torf_utils.py:474-495)
+    scene_name = os.path.basename(cfg.model.source_path.rstrip("/"))
+    viz_lo, viz_hi, _ = paper_viz_bounds(scene_name)
     params = trainer.model.params
     motion = np.asarray(get_motion_mask(params) & trainer.model.aux.alive)
     n_frames = scene.num_train if not args.max_frames else min(
@@ -98,7 +105,7 @@ def main(argv=None):
             static, params, trainer.deform, trainer.model.aux.alive, frame
         )
         depth = np.asarray(out_tof.depth[0])
-        dimg = depth_to_disp_viz(depth, scene.data.depth_range)
+        dimg = depth_to_disp_viz_window(depth, viz_lo, viz_hi)
         imageio.imwrite(
             os.path.join(out_dir, "depth_quad", f"{fid:04d}.png"), dimg
         )
