@@ -25,7 +25,9 @@ def main():
     if "--rasterizer" not in sys.argv:
         from bench_train import main as train_main
 
-        sys.argv = [sys.argv[0]]
+        # forward remaining CLI flags to bench_train's parser
+        sys.argv = [sys.argv[0]] + [a for a in sys.argv[1:]
+                                    if a != "--rasterizer"]
         return train_main()
     from gftorf_tpu.data.synthetic import make_scene
     from gftorf_tpu.render.rasterize import rasterize

@@ -74,7 +74,7 @@ def main():
         cfg_dict[k] = json.loads(v)
     cfg = Config.from_dict(cfg_dict)
     np.random.seed(7)
-    trainer = Trainer(cfg)
+    trainer = Trainer(cfg, startup_artifacts=False)
 
     # Warm-up: compile every phase program + fill the metric pipeline.
     for _ in range(args.warm):

@@ -30,6 +30,83 @@ from gftorf_tpu.render.rasterize import rasterize
 from gftorf_tpu.render.settings import CameraSpec, RasterConfig
 
 
+def _surface_grid(key, z, x_half, y_half, spacing, color_freq=1.7):
+    """A wall of overlapping opaque Gaussians at constant depth z with a
+    smooth procedural texture. Returns (xyz, scales, opac, sh_dc, amp)."""
+    ks = jax.random.split(key, 4)
+    nx = max(int(2 * x_half / spacing) + 1, 2)
+    ny = max(int(2 * y_half / spacing) + 1, 2)
+    xs = jnp.linspace(-x_half, x_half, nx)
+    ys = jnp.linspace(-y_half, y_half, ny)
+    gx, gy = jnp.meshgrid(xs, ys)
+    n = nx * ny
+    jitter = 0.25 * spacing * jax.random.normal(ks[0], (n, 2))
+    xyz = jnp.stack(
+        [gx.ravel() + jitter[:, 0], gy.ravel() + jitter[:, 1],
+         jnp.full((n,), z)], -1)
+    scales = jnp.full((n, 3), 0.85 * spacing)
+    scales = scales.at[:, 2].set(0.15 * spacing)  # thin along depth
+    opac = jax.random.uniform(ks[1], (n,), minval=0.88, maxval=0.98)
+    tex = 0.5 + 0.35 * jnp.sin(color_freq * xyz[:, 0]) * jnp.sin(
+        color_freq * 1.3 * xyz[:, 1])
+    sh_dc = tex[:, None] + 0.08 * jax.random.normal(ks[2], (n, 3))
+    amp = 1.2 + 0.8 * tex + 0.05 * jax.random.normal(ks[3], (n,))
+    return xyz, scales, opac, sh_dc, amp
+
+
+def make_room_gaussians(key, num_dynamic=160, depth_range=15.0):
+    """A realistic full-coverage scene: an opaque textured back wall
+    filling the frustum, a half-width mid-depth wall (depth edge), and a
+    rigidly-oscillating dynamic ball. Unlike the floating-blob layout,
+    every pixel sees an opaque surface, which reproduces the recovery
+    dynamics of real ToF captures around opacity resets (reference
+    train.py:455-461): surviving surface points re-saturate instead of
+    the scene collapsing into a translucent soup."""
+    ks = jax.random.split(key, 8)
+    # frustum half-extents per unit depth for fx = fy = 0.9*W, H = 0.75*W
+    xz, yz = 0.5 / 0.9, 0.375 / 0.9
+    wall_xyz, wall_s, wall_o, wall_dc, wall_amp = _surface_grid(
+        ks[0], 6.0, 1.08 * xz * 6.0, 1.08 * yz * 6.0, 0.16)
+    half_xyz, half_s, half_o, half_dc, half_amp = _surface_grid(
+        ks[1], 3.6, 1.05 * xz * 3.6, 1.05 * yz * 3.6, 0.12, color_freq=2.6)
+    keep = half_xyz[:, 0] < -0.25  # left-side wall only: depth edge
+    half_xyz, half_s, half_o, half_dc, half_amp = (
+        a[keep] for a in (half_xyz, half_s, half_o, half_dc, half_amp))
+
+    # dynamic ball at mid depth on the right
+    nb = num_dynamic
+    d = jax.random.normal(ks[2], (nb, 3))
+    d = d / jnp.linalg.norm(d, axis=-1, keepdims=True)
+    r = 0.45 * jax.random.uniform(ks[3], (nb,)) ** (1.0 / 3.0)
+    ball_xyz = jnp.array([0.9, 0.1, 2.8]) + d * r[:, None]
+    ball_s = jax.random.uniform(ks[4], (nb, 3), minval=0.06, maxval=0.12)
+    ball_o = jax.random.uniform(ks[5], (nb,), minval=0.85, maxval=0.98)
+    ball_dc = (jnp.array([1.1, 0.6, 0.4])
+               + 0.1 * jax.random.normal(ks[6], (nb, 3)))
+    ball_amp = 1.8 + 0.2 * jax.random.normal(ks[7], (nb,))
+
+    xyz = jnp.concatenate([wall_xyz, half_xyz, ball_xyz])
+    n = xyz.shape[0]
+    ns = n - nb
+    scales = jnp.concatenate([wall_s, half_s, ball_s])
+    opac = jnp.concatenate([wall_o, half_o, ball_o])
+    sh_dc = jnp.concatenate([wall_dc, half_dc, ball_dc])
+    amp = jnp.concatenate([wall_amp, half_amp, ball_amp])
+
+    quat = jnp.zeros((n, 4)).at[:, 0].set(1.0)
+    m = 16
+    shs = jnp.zeros((n, m, 3)).at[:, 0, :].set(sh_dc)
+    shs_p = jnp.zeros((n, m, 2)).at[:, 0, 1].set(amp)
+    dyn_mask = jnp.arange(n) >= ns
+    velocity = jnp.where(
+        dyn_mask[:, None],
+        jnp.array([[0.3, 0.08, 0.15]]) * jnp.ones((n, 3)),
+        jnp.zeros((n, 3)),
+    )
+    return dict(xyz=xyz, scales=scales, quat=quat, opac=opac, shs=shs,
+                shs_p=shs_p, dyn_mask=dyn_mask, velocity=velocity)
+
+
 def make_gt_gaussians(key, num_static=384, num_dynamic=128, depth_range=15.0):
     ks = jax.random.split(key, 10)
     n = num_static + num_dynamic
@@ -78,11 +155,17 @@ def write_dataset(
     dc_offset: float = 0.1,
     seed: int = 0,
     torf_layout: bool = False,
+    layout: str = "blobs",
 ):
     """Render and write a synthetic scene. num_frames should be a
-    multiple of 4 for the quad cadence."""
+    multiple of 4 for the quad cadence. layout: "blobs" (floating
+    Gaussians, cheap — tests) or "room" (full-coverage opaque surfaces —
+    realistic training dynamics, parity runs)."""
     key = jax.random.PRNGKey(seed)
-    g = make_gt_gaussians(key, depth_range=depth_range)
+    if layout == "room":
+        g = make_room_gaussians(key, depth_range=depth_range)
+    else:
+        g = make_gt_gaussians(key, depth_range=depth_range)
     n = g["xyz"].shape[0]
 
     fx = fy = 0.9 * width

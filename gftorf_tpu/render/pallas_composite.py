@@ -48,6 +48,23 @@ FWD_CHUNK = 512  # depth-axis chunk size (multiple of 128)
 BWD_CHUNK = 256
 
 
+def _fwd_pref(L: int) -> int:
+    """Forward chunk preference, shrunk for deep tiles so the kernel's
+    scoped-VMEM stays under the 16MB v5e stack limit: the (PIX, CL)
+    chunk temporaries dominate at ~28 live f32 arrays, and the
+    double-buffered (L, 24) feature block grows with the tile cap
+    (train/loop.py grow-and-replay doubles max_per_tile on overflow)."""
+    return FWD_CHUNK if L < 4096 else 256
+
+
+def _bwd_pref(L: int) -> int:
+    """Backward chunk preference. Budget model (measured on v5e): the
+    per-chunk temporaries are ~14.5MB at CL=256 and the four buffered
+    copies of the (L, 24) feature/grad blocks add 4*L*24*4 bytes, so
+    CL=256 just overflows the 16MB scoped stack at L=4096."""
+    return BWD_CHUNK if L < 4096 else 128
+
+
 def _pick_chunk(L: int, pref: int) -> int:
     """Largest 128-multiple chunk <= pref that divides L (the in-kernel
     dynamic slice must stay in bounds: a chunk that doesn't divide L
@@ -391,7 +408,7 @@ def composite_forward_pallas(feat_tl, bg_tiles, counts, origins,
                              config: RasterConfig, interpret: bool = False):
     T, L, _ = feat_tl.shape
     pix = config.tile_pixels
-    chunk = _pick_chunk(L, FWD_CHUNK)
+    chunk = _pick_chunk(L, _fwd_pref(L))
     kernel = functools.partial(_forward_kernel, config=config, chunk=chunk)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
@@ -422,7 +439,7 @@ def composite_backward_pallas(feat_tl, bg_tiles, out_res, g, counts,
                               interpret: bool = False):
     T, L, _ = feat_tl.shape
     pix = config.tile_pixels
-    chunk = _pick_chunk(L, BWD_CHUNK)
+    chunk = _pick_chunk(L, _bwd_pref(L))
     kernel = functools.partial(_backward_kernel, config=config, chunk=chunk)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,

@@ -73,7 +73,7 @@ def load_trained(model_path: str, iteration: int = -1):
         ),
         adam=AdamState(mu=zeros, nu=zeros, step=jnp.int32(0)),
     )
-    trainer = Trainer(cfg, scene=scene)
+    trainer = Trainer(cfg, scene=scene, startup_artifacts=False)
     trainer.iteration = iteration
     trainer.active_sh_degree = cfg.model.sh_degree
     deform, _ = load_pytree(os.path.join(art, "deform_model.npz"),
@@ -176,11 +176,14 @@ def render_input_split(trainer, frames, n_frames, out_dir, cfg,
         depth_tof = np.asarray(depth_from_tof(
             np.moveaxis(gt_phasor, 0, -1), depth_range,
             float(frame.phase_offset)))
+        # same red/blue signed encoding as render_split, so the panel's
+        # Input and Ours cells are directly comparable
+        real, imag, amp = phasor2real_img_amp(np.moveaxis(gt_phasor, 0, -1))
         imgs = {
             "color": to8b(color),
-            "real": to8b(np.abs(gt_phasor[0])),
-            "imag": to8b(np.abs(gt_phasor[1])),
-            "amp": to8b(normalize_im(gt_phasor[2])),
+            "real": to8b(np.abs(real)),
+            "imag": to8b(np.abs(imag)),
+            "amp": to8b(normalize_im(amp)),
             "depth": depth_to_disp_viz(depth_tof, depth_range),
             "depth_tof": depth_to_disp_viz(depth_tof, depth_range),
         }

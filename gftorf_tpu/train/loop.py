@@ -54,7 +54,8 @@ def _reset_opacity_step(params, mask, use_mask: bool):
 
 
 class Trainer:
-    def __init__(self, cfg: Config, scene: Optional[Scene] = None):
+    def __init__(self, cfg: Config, scene: Optional[Scene] = None,
+                 startup_artifacts: bool = True):
         self.cfg = cfg
         self.scene = scene or Scene(cfg)
         m, opt = cfg.model, cfg.opt
@@ -69,7 +70,11 @@ class Trainer:
         np.random.seed(m.seed)
         self.key = jax.random.PRNGKey(m.seed)
 
-        if m.model_path:
+        # Init-time sanity artifacts (cameras.json, scene_bounds.png —
+        # scene/__init__.py:63-83, torf_utils.py:446-466). Skipped for
+        # inference-only loads (render/bench), where the matplotlib plot
+        # is pure startup latency.
+        if m.model_path and startup_artifacts:
             from gftorf_tpu.data.scene import (
                 write_scene_bounds_png,
                 write_scene_metadata,
@@ -78,8 +83,9 @@ class Trainer:
             try:
                 write_scene_metadata(self.scene, m.model_path)
                 write_scene_bounds_png(self.scene, m.model_path)
-            except OSError:
-                pass
+            except Exception as e:  # plot failure must not abort training
+                print(f"[warn] scene metadata/bounds write failed: {e}",
+                      flush=True)
 
         self.model = self.scene.model_state
         self.deform_cfg = DeformConfig(
@@ -107,6 +113,7 @@ class Trainer:
         self.tile_cap = cfg.tpu.max_per_tile
         self.tile_cap_limit = max(self.tile_cap,
                                   getattr(cfg.tpu, "max_per_tile_limit", 16384))
+        self._tile_limit_warned = False
 
         # Device mesh: (data, shard) from TpuParams. data batches cameras
         # (DP, grads averaged), shard splits each render + the deform MLP
@@ -245,8 +252,11 @@ class Trainer:
         vals = np.asarray(rec["packed"])
         metrics = dict(zip(METRIC_NAMES, [float(v) for v in vals]))
 
-        if metrics["tile_overflow"] > 0 and self.tile_cap < self.tile_cap_limit:
-            metrics = self._grow_and_replay(rec)
+        if metrics["tile_overflow"] > 0:
+            if self.tile_cap < self.tile_cap_limit:
+                metrics = self._grow_and_replay(rec)
+            else:
+                self._warn_tile_limit(rec["it"], metrics["tile_overflow"])
 
         loss = metrics["loss"]
         self.ema_loss = 0.4 * loss + 0.6 * self.ema_loss
@@ -302,7 +312,22 @@ class Trainer:
             if metrics["tile_overflow"] <= 0 or self.tile_cap >= self.tile_cap_limit:
                 self._pending = replay[1:]
                 break
+        if metrics["tile_overflow"] > 0:
+            self._warn_tile_limit(rec["it"], metrics["tile_overflow"])
         return metrics
+
+    def _warn_tile_limit(self, it: int, dropped: float) -> None:
+        """Loud one-time escalation when the tile cap ceiling is hit:
+        from here on overflowing steps silently truncate the deepest
+        instances (the per-record tile_overflow int in train_log.jsonl
+        is the only other evidence)."""
+        if self._tile_limit_warned:
+            return
+        self._tile_limit_warned = True
+        print(f"[iter {it}] WARNING: tile overflow ({int(dropped)} instances"
+              f" dropped) at max_per_tile_limit={self.tile_cap_limit};"
+              " renders are truncated until the scene thins out"
+              " (raise --max_per_tile_limit to keep exactness)", flush=True)
 
     def drain(self) -> list:
         """Resolve every pending step (call before host-side events that

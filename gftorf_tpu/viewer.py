@@ -132,7 +132,16 @@ class ViewerServer:
                 self.send_frame(frame, verify)
                 if req.do_training or not req.keep_alive:
                     break
-            except Exception:
+            except Exception as e:
+                # Close (not just drop) the socket and surface the cause:
+                # a render_fn bug would otherwise be indistinguishable
+                # from a client disconnect.
+                print(f"viewer: connection dropped ({type(e).__name__}: {e})",
+                      flush=True)
+                try:
+                    self.conn.close()
+                except OSError:
+                    pass
                 self.conn = None
         return True
 

@@ -102,6 +102,32 @@ def main(argv=None):
     log_path = os.path.join(cfg.model.model_path, "train_log.jsonl")
     log_f = open(log_path, "a")
     profile_range = args.profile_steps
+
+    def handle_record(out):
+        oit = out["iteration"]
+        if profile_range and oit == profile_range[1]:
+            import jax
+
+            jax.profiler.stop_trace()
+            print(f"profiler trace written to "
+                  f"{cfg.model.model_path}/profile", flush=True)
+        if oit % 50 == 0 or oit == 1:
+            log_f.write(json.dumps(out) + "\n")
+            log_f.flush()
+        if not args.quiet and (oit % 200 == 0 or oit == 1):
+            print(
+                f"[{oit}/{iterations}] loss {out['ema_loss']:.5f} "
+                f"pts {out['num_points']} vis {out['visible']} "
+                f"{out['iter_time']*1e3:.1f} ms", flush=True,
+            )
+        if cfg.pipe.debug and (oit % cfg.tpu.debug_interval == 0
+                               or oit == 1):
+            from gftorf_tpu.train.debug import dump_debug_images
+
+            # label with the trainer's live iteration: the model state is
+            # metrics_lag steps ahead of this resolved record
+            dump_debug_images(trainer, out["idx"], trainer.iteration)
+
     while trainer.iteration < iterations:
         if profile_range and trainer.iteration + 1 == profile_range[0]:
             import jax
@@ -114,27 +140,7 @@ def main(argv=None):
         if it in test_iters or it in save_iters or it in ckpt_iters:
             outs += trainer.drain()
         for out in outs:
-            oit = out["iteration"]
-            if profile_range and oit == profile_range[1]:
-                import jax
-
-                jax.profiler.stop_trace()
-                print(f"profiler trace written to "
-                      f"{cfg.model.model_path}/profile", flush=True)
-            if oit % 50 == 0 or oit == 1:
-                log_f.write(json.dumps(out) + "\n")
-                log_f.flush()
-            if not args.quiet and (oit % 200 == 0 or oit == 1):
-                print(
-                    f"[{oit}/{iterations}] loss {out['ema_loss']:.5f} "
-                    f"pts {out['num_points']} vis {out['visible']} "
-                    f"{out['iter_time']*1e3:.1f} ms", flush=True,
-                )
-            if cfg.pipe.debug and (oit % cfg.tpu.debug_interval == 0
-                                   or oit == 1):
-                from gftorf_tpu.train.debug import dump_debug_images
-
-                dump_debug_images(trainer, out["idx"], oit)
+            handle_record(out)
         if it in test_iters:
             from gftorf_tpu.train.debug import param_histograms
 
@@ -155,7 +161,8 @@ def main(argv=None):
             trainer.save_checkpoint(
                 os.path.join(cfg.model.model_path, f"chkpnt{it}.npz")
             )
-    trainer.drain()
+    for out in trainer.drain():
+        handle_record(out)
     log_f.close()
     print(f"Training complete in {time.time()-t_start:.1f} s")
 
