@@ -101,18 +101,25 @@ def dump_debug_images(trainer, idx: int, iteration: int) -> None:
             )
 
 
-def param_histograms(model, bins: int = 32) -> dict:
-    """Opacity / center-distance / amplitude histograms over live
-    Gaussians (the reference's TB histograms, train.py:595-601), as
-    {name: {"edges": [...], "counts": [...]}} for train_log.jsonl."""
+def param_series(model) -> dict:
+    """Raw per-live-Gaussian series behind the reference's TB
+    histograms (train.py:595-601): opacity, center distance, amplitude,
+    mean scale — as {name: 1-D np.ndarray}."""
     alive = np.asarray(model.aux.alive)
     params = model.params
-    series = {
+    return {
         "opacity": np.asarray(get_opacity(params))[alive, 0],
         "dist": np.linalg.norm(np.asarray(params.xyz)[alive], axis=-1),
         "amplitude": np.asarray(sh2pa(params.sh_amp[:, 0]))[alive],
         "scale": np.asarray(get_scaling(params))[alive].mean(-1),
     }
+
+
+def param_histograms(model, bins: int = 32) -> dict:
+    """Opacity / center-distance / amplitude histograms over live
+    Gaussians (the reference's TB histograms, train.py:595-601), as
+    {name: {"edges": [...], "counts": [...]}} for train_log.jsonl."""
+    series = param_series(model)
     out = {}
     for name, vals in series.items():
         if vals.size == 0:

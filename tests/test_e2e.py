@@ -164,6 +164,38 @@ class TestTrainerFToRF:
         assert r["mae_d_tof"] < 0.6, r
         assert r["psnr_color"] > 10.0, r
 
+    def test_train_cli_tensorboard(self, ftorf_dir, tmp_path):
+        """Drive the train.py CLI end-to-end with --tensorboard: event
+        files must appear next to train_log.jsonl (the reference's
+        SummaryWriter surface, train.py:410-433,581-601)."""
+        pytest.importorskip("torch.utils.tensorboard")
+        import json
+
+        import train as train_cli
+
+        model_path = str(tmp_path / "model_tb")
+        cfg = dict(
+            source_path=ftorf_dir, model_path=model_path,
+            total_num_views=8, tof_image_width=64, tof_image_height=48,
+            color_image_width=64, color_image_height=48,
+            depth_range=15.0, num_points=1000, iterations=8,
+            warm_up=2, densify_from_iter=100, densify_until_iter=0,
+            lambda_color=0.5, lambda_tof=1.0, random_bg_color=True,
+            position_lr_max_steps=8, dataset_type="quad",
+            use_quad=True, dynamic=True,
+        )
+        cfg_path = str(tmp_path / "tb_cfg.json")
+        with open(cfg_path, "w") as f:
+            json.dump(cfg, f)
+        train_cli.main([
+            "--config", cfg_path, "--quiet", "--tensorboard",
+            "--test_iterations", "1", "8",
+        ])
+        files = os.listdir(model_path)
+        assert "train_log.jsonl" in files
+        assert "cfg_args_full.json" in files
+        assert any(f.startswith("events.out.tfevents") for f in files), files
+
     def test_checkpoint_roundtrip(self, ftorf_dir, tmp_path):
         cfg = base_cfg(ftorf_dir, str(tmp_path / "model2"), iterations=10)
         tr = Trainer(cfg)

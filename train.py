@@ -45,6 +45,13 @@ def build_parser() -> argparse.ArgumentParser:
                         default=None)
     parser.add_argument("--start_checkpoint", type=str, default=None)
     parser.add_argument("--quiet", action="store_true")
+    parser.add_argument("--tensorboard", action="store_true",
+                        help="also write TensorBoard event files to "
+                             "model_path (scalars every logged iter, "
+                             "per-split metrics + histograms at evals), "
+                             "mirroring the reference's SummaryWriter "
+                             "(train.py:410-433,581-601); off by default "
+                             "because the torch TB import costs ~10 s")
     for group in (ModelParams(), OptimizationParams(), PipelineParams(),
                   TpuParams()):
         for f in dataclasses.fields(group):
@@ -103,6 +110,16 @@ def main(argv=None):
     log_f = open(log_path, "a")
     profile_range = args.profile_steps
 
+    tb = None
+    if args.tensorboard:
+        try:
+            from torch.utils.tensorboard import SummaryWriter
+
+            tb = SummaryWriter(cfg.model.model_path)
+        except ImportError:
+            print("tensorboard requested but not importable; "
+                  "continuing with train_log.jsonl only", flush=True)
+
     def handle_record(out):
         oit = out["iteration"]
         if profile_range and oit == profile_range[1]:
@@ -114,6 +131,10 @@ def main(argv=None):
         if oit % 50 == 0 or oit == 1:
             log_f.write(json.dumps(out) + "\n")
             log_f.flush()
+            if tb is not None:
+                for k, v in out.items():
+                    if isinstance(v, (int, float)) and k != "iteration":
+                        tb.add_scalar(f"train/{k}", v, oit)
         if not args.quiet and (oit % 200 == 0 or oit == 1):
             print(
                 f"[{oit}/{iterations}] loss {out['ema_loss']:.5f} "
@@ -151,6 +172,16 @@ def main(argv=None):
                 "iteration": it,
             }) + "\n")
             log_f.flush()
+            if tb is not None:
+                from gftorf_tpu.train.debug import param_series
+
+                for split, metrics in report.items():
+                    for k, v in metrics.items():
+                        if isinstance(v, (int, float)):
+                            tb.add_scalar(f"{split}/{k}", v, it)
+                for name, vals in param_series(trainer.model).items():
+                    if vals.size:
+                        tb.add_histogram(f"scene/{name}", vals, it)
             if not args.quiet:
                 print(f"[eval {it}] {report}", flush=True)
         if it in save_iters:
