@@ -64,6 +64,7 @@ def rasterize_sharded(
     alive: Optional[jnp.ndarray] = None,
     colors_precomp: Optional[jnp.ndarray] = None,
     phasors_precomp: Optional[jnp.ndarray] = None,
+    flow_precomp: Optional[jnp.ndarray] = None,
 ):
     """Rasterize inside a shard_map context over `axis_name`.
 
@@ -136,6 +137,11 @@ def rasterize_sharded(
         phasor=jnp.take(pre.phasor, idc, axis=0),
         dist=jnp.take(pre.dist, idc, axis=0),
         dist_ndc=jnp.take(pre.dist_ndc, idc, axis=0),
+        # flow arrives replicated; pad rows like the gathered pre arrays
+        # so instance ids (which index the padded layout) line up.
+        flow=(None if flow_precomp is None else jnp.take(
+            _pad_to_multiple(flow_precomp, per * n_dev), idc, axis=0
+        )),
     )
 
     # local slice of the background map (pad rows to shard evenly)
@@ -197,4 +203,5 @@ def rasterize_sharded(
             binning.dup_overflow.astype(jnp.int32), axis_name
         ).astype(bool),
         tile_overflow=jax.lax.pmax(binning.tile_overflow, axis_name),
+        flow=None if flow_precomp is None else gather_img(out.flow),
     )

@@ -51,6 +51,10 @@ class TileFeatures(NamedTuple):
     phasor: jnp.ndarray  # (T, L, 7)
     dist: jnp.ndarray  # (T, L)
     dist_ndc: jnp.ndarray  # (T, L)
+    # Optional fused scene-flow channels (fwd 3 + bwd 3), composited
+    # with DETACHED alpha*T weights — replaces the reference's separate
+    # render_flow passes (gaussian_renderer/__init__.py:141-204).
+    flow: jnp.ndarray | None = None  # (T, L, 6) or None
 
 
 class TileOutputs(NamedTuple):
@@ -61,6 +65,7 @@ class TileOutputs(NamedTuple):
     dd: jnp.ndarray  # (T, PIX)
     distribution: jnp.ndarray  # (T, PIX, 3)
     contrib_pixels: jnp.ndarray  # (T, L) pixels touched per instance
+    flow: jnp.ndarray  # (T, PIX, 6) zeros when no flow features given
 
 
 def _composite_tile(feats: TileFeatures, tile_origin, bg_tile, config: RasterConfig):
@@ -157,6 +162,17 @@ def _composite_tile(feats: TileFeatures, tile_origin, bg_tile, config: RasterCon
 
     contrib_pixels = jnp.sum(contribute_sg.astype(jnp.float32), axis=0)  # (L,)
 
+    # Fused flow channels: same alpha*T weights as color but DETACHED —
+    # gradients reach only the flow features, reproducing the reference's
+    # geometry-detached render_flow (gaussian_renderer/__init__.py:160-171;
+    # flow has no background term, train.py:243-261 passes bg = 0).
+    if feats.flow is not None:
+        flow = jnp.matmul(
+            jax.lax.stop_gradient(w), feats.flow, precision="highest"
+        )  # (PIX, 6)
+    else:
+        flow = jnp.zeros((pix, 6), jnp.float32)
+
     return TileOutputs(
         color=color,
         phasor=phasor,
@@ -165,6 +181,7 @@ def _composite_tile(feats: TileFeatures, tile_origin, bg_tile, config: RasterCon
         dd=dd,
         distribution=distribution,
         contrib_pixels=contrib_pixels,
+        flow=flow,
     )
 
 

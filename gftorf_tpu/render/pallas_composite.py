@@ -16,13 +16,22 @@ Padding needs no masking data: the dense layout is front-packed, so
 lanes >= count are dead.
 
 Packed column layout (pack_gaussian_features):
-  0:2 mean2d | 2:5 conic | 5 opacity | 6 dist_ndc | 7 pad
-  8:11 rgb | 11 dist | 12:19 phasor | 19:24 pad
+  0:2 mean2d | 2:5 conic | 5 opacity | 6 dist_ndc
+  7:10 rgb | 10 dist | 11:18 phasor | 18:24 flow
 
-Output block (T, PIX, 24):
+The flow columns fuse the reference's separate `render_flow` passes
+(gaussian_renderer/__init__.py:141-204: 3D scene-flow splatted as
+colors with geometry DETACHED) into the same tile scan: they are
+composited with the alpha*T weights like color, but the backward omits
+their d_alpha contribution entirely — exactly the detached-geometry
+semantics, without re-running preprocess/binning/compositing twice more
+per training step.
+
+Output block (T, PIX, 32):
   0:3 color(+bg), 3 depth, 4:11 phasor(+bg), 11 acc, 12 dd,
   13 final_T, 14:17 first-sample (alpha, dist, amp),
-  17 A_tot, 18 WZ_tot, 19 WZ2_tot (residuals for backward), 20:24 pad
+  17 A_tot, 18 WZ_tot, 19 WZ2_tot (residuals for backward),
+  20:26 flow (fwd 3 + bwd 3, no bg), 26:32 pad
 
 Mosaic notes (this jax version): no cumsum/cumprod/reduce_prod lowering
 and no i1 vector loop carries — prefix ops use the Hillis-Steele
@@ -119,7 +128,7 @@ def _chunk_common(feat_ref, off, chunk, count, px, py, inside, t_run, done):
     mean_x, mean_y = blk[0], blk[1]
     con_a, con_b, con_c = blk[2], blk[3], blk[4]
     opac, z = blk[5], blk[6]
-    f = blk[8:20]  # (12, CL): rgb, dist, phasor, pad
+    f = blk[7:24]  # (17, CL): rgb(0:3), dist(3), phasor(4:11), flow(11:17)
     lane = off + jax.lax.broadcasted_iota(jnp.int32, (1, chunk), 1)
     present = lane < count
 
@@ -175,7 +184,7 @@ def _forward_kernel(counts_ref, origins_ref, feat_ref, bg_ref,
             w, f, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
             precision=jax.lax.Precision.HIGHEST,
-        )  # (PIX, 12): cols 0:4 (rgb,dist) valid
+        )  # (PIX, 17): cols 0:4 (rgb,dist) and 11:17 (flow) valid
         sums_wp = jax.lax.dot_general(
             w_p, f, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
@@ -212,11 +221,9 @@ def _forward_kernel(counts_ref, origins_ref, feat_ref, bg_ref,
 
         contrib_ref[0, 0, pl.ds(off, chunk)] = jnp.sum(c_f32, axis=0)
 
-        col = jax.lax.broadcasted_iota(jnp.int32, (1, 12), 1)
-        new_accum = (
-            accum
-            + jnp.where(col < 4, sums_w, 0.0)
-            + jnp.where((col >= 4) & (col < 11), sums_wp, 0.0)
+        col = jax.lax.broadcasted_iota(jnp.int32, (1, 17), 1)
+        new_accum = accum + jnp.where(
+            (col >= 4) & (col < 11), sums_wp, sums_w
         )
         return (c + 1, t_run_next, done_c[:, -1:], new_accum, dd + dd_c,
                 a_run + acc_c,
@@ -232,7 +239,7 @@ def _forward_kernel(counts_ref, origins_ref, feat_ref, bg_ref,
         jnp.int32(0),
         jnp.ones((pix, 1), jnp.float32),  # t_run
         jnp.zeros((pix, 1), jnp.float32),  # done flag (f32: Mosaic carry)
-        jnp.zeros((pix, 12), jnp.float32),  # accum
+        jnp.zeros((pix, 17), jnp.float32),  # accum
         jnp.zeros((pix, 1), jnp.float32),  # dd
         jnp.zeros((pix, 1), jnp.float32),  # a_run
         jnp.zeros((pix, 1), jnp.float32),  # wz_run
@@ -259,7 +266,8 @@ def _forward_kernel(counts_ref, origins_ref, feat_ref, bg_ref,
             a_run,  # 17 A_tot
             wz_run,  # 18
             wz2_run,  # 19
-            jnp.zeros((pix, 4), jnp.float32),  # 20:24
+            accum[:, 11:17],  # 20:26 flow (reference render_flow bg = 0)
+            jnp.zeros((pix, 6), jnp.float32),  # 26:32
         ],
         axis=-1,
     )
@@ -282,8 +290,8 @@ def _backward_kernel(counts_ref, origins_ref, feat_ref, bg_ref,
     count = counts_ref[t]
     px, py, inside = _pixel_coords(origins_ref, t, config)
 
-    out = out_res_ref[0]  # (PIX, 24) forward outputs/residuals
-    g = g_ref[0]  # (PIX, 24) cotangents
+    out = out_res_ref[0]  # (PIX, 32) forward outputs/residuals
+    g = g_ref[0]  # (PIX, 32) cotangents
     bg = bg_ref[0]  # (PIX, 12)
 
     t_final = out[:, 13:14]
@@ -366,16 +374,23 @@ def _backward_kernel(counts_ref, origins_ref, feat_ref, bg_ref,
             preferred_element_type=jnp.float32,
             precision=jax.lax.Precision.HIGHEST,
         )  # (7, CL)
+        # Flow channels: grads reach the flow features only (weights are
+        # detached — no d_alpha term — matching the reference's detached
+        # render_flow geometry, gaussian_renderer/__init__.py:160-171).
+        d_flow = jax.lax.dot_general(
+            g[:, 20:26], w, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )  # (6, CL)
 
-        zero_row = jnp.zeros((1, chunk), jnp.float32)
         d_blk = jnp.concatenate(
             [
                 d_mean_x[None], d_mean_y[None],
                 d_con_a[None], d_con_b[None], d_con_c[None],
-                d_opac[None], d_z[None], zero_row,
-                d_f,  # 8:12 (rgb, dist)
-                d_p,  # 12:19 (phasor)
-                jnp.zeros((5, chunk), jnp.float32),  # 19:24
+                d_opac[None], d_z[None],
+                d_f,  # 7:11 (rgb, dist)
+                d_p,  # 11:18 (phasor)
+                d_flow,  # 18:24
             ],
             axis=0,
         )  # (24, CL)
@@ -418,7 +433,7 @@ def composite_forward_pallas(feat_tl, bg_tiles, counts, origins,
             pl.BlockSpec((1, pix, 12), lambda t, c_ref, o_ref: (t, 0, 0)),
         ],
         out_specs=[
-            pl.BlockSpec((1, pix, 24), lambda t, c_ref, o_ref: (t, 0, 0)),
+            pl.BlockSpec((1, pix, 32), lambda t, c_ref, o_ref: (t, 0, 0)),
             pl.BlockSpec((1, 1, L), lambda t, c_ref, o_ref: (t, 0, 0)),
         ],
     )
@@ -426,7 +441,7 @@ def composite_forward_pallas(feat_tl, bg_tiles, counts, origins,
         kernel,
         grid_spec=grid_spec,
         out_shape=[
-            jax.ShapeDtypeStruct((T, pix, 24), jnp.float32),
+            jax.ShapeDtypeStruct((T, pix, 32), jnp.float32),
             jax.ShapeDtypeStruct((T, 1, L), jnp.float32),
         ],
         interpret=interpret,
@@ -447,8 +462,8 @@ def composite_backward_pallas(feat_tl, bg_tiles, out_res, g, counts,
         in_specs=[
             pl.BlockSpec((1, L, 24), lambda t, c_ref, o_ref: (t, 0, 0)),
             pl.BlockSpec((1, pix, 12), lambda t, c_ref, o_ref: (t, 0, 0)),
-            pl.BlockSpec((1, pix, 24), lambda t, c_ref, o_ref: (t, 0, 0)),
-            pl.BlockSpec((1, pix, 24), lambda t, c_ref, o_ref: (t, 0, 0)),
+            pl.BlockSpec((1, pix, 32), lambda t, c_ref, o_ref: (t, 0, 0)),
+            pl.BlockSpec((1, pix, 32), lambda t, c_ref, o_ref: (t, 0, 0)),
         ],
         out_specs=[
             pl.BlockSpec((1, L, 24), lambda t, c_ref, o_ref: (t, 0, 0)),
@@ -467,24 +482,25 @@ def composite_backward_pallas(feat_tl, bg_tiles, out_res, g, counts,
 # Packing & the custom-vjp wrapper
 
 
-def pack_gaussian_features(pre) -> jnp.ndarray:
+def pack_gaussian_features(pre, flow=None) -> jnp.ndarray:
     """PreprocessOutputs -> one (P, 24) feature matrix so the tile layout
     needs a single instance gather (random gathers cost ~5 ms per million
-    rows on v5e; eight separate ones dominate the frame otherwise)."""
+    rows on v5e; eight separate ones dominate the frame otherwise).
+
+    `flow` is an optional (P, 6) block of fused scene-flow channels
+    (forward 3 + backward 3), composited with detached alpha*T weights.
+    """
     P = pre.mean2d.shape[0]
-    pad1 = jnp.zeros((P, 1), jnp.float32)
     return jnp.concatenate(
         [
             pre.mean2d,  # 0:2
             pre.conic,  # 2:5
             pre.opacity[:, None],  # 5
             pre.dist_ndc[:, None],  # 6
-            pad1,  # 7
-            pre.rgb,  # 8:11
-            pre.dist[:, None],  # 11
-            pre.phasor,  # 12:19
-            pad1,  # 19
-            jnp.zeros((P, 4), jnp.float32),  # 20:24
+            pre.rgb,  # 7:10
+            pre.dist[:, None],  # 10
+            pre.phasor,  # 11:18
+            jnp.zeros((P, 6), jnp.float32) if flow is None else flow,  # 18:24
         ],
         axis=-1,
     )
@@ -560,9 +576,14 @@ def _run_pallas_vjp(feat_tl, bg_tiles, counts, origins,
                     config: RasterConfig, interpret: bool):
     run = _make_pallas_vjp(config, interpret)
     fwd = run(feat_tl, bg_tiles, counts, origins)
-    # Stop gradients through the non-differentiable output columns.
+    # Stop gradients through the non-differentiable output columns
+    # (final_T/first/residuals at 13:20 and the pad at 26:; the flow
+    # columns 20:26 ARE differentiable — w.r.t. the flow features only).
+    o = fwd.out
+    o = o.at[..., 13:20].set(jax.lax.stop_gradient(o[..., 13:20]))
+    o = o.at[..., 26:].set(jax.lax.stop_gradient(o[..., 26:]))
     fwd = PallasForward(
-        out=fwd.out.at[..., 13:].set(jax.lax.stop_gradient(fwd.out[..., 13:])),
+        out=o,
         contrib=jax.lax.stop_gradient(fwd.contrib),
     )
     return unpack_outputs(fwd, config)
@@ -597,19 +618,17 @@ def composite_tiles_pallas(feats, bg_map, config: RasterConfig,
     XLA, so cotangents map back onto the TileFeatures leaves.
     """
     T, L = feats.gauss_id.shape
-    zeros = jnp.zeros((T, L, 1), jnp.float32)
     packed_tl = jnp.concatenate(
         [
             feats.mean2d,
             feats.conic,
             feats.opacity[..., None],
             feats.dist_ndc[..., None],
-            zeros,
             feats.rgb,
             feats.dist[..., None],
             feats.phasor,
-            zeros,
-            jnp.zeros((T, L, 4), jnp.float32),
+            (jnp.zeros((T, L, 6), jnp.float32)
+             if feats.flow is None else feats.flow),
         ],
         axis=-1,
     )
@@ -630,4 +649,5 @@ def unpack_outputs(fwd: PallasForward, config: RasterConfig):
         dd=o[..., 12],
         distribution=o[..., 14:17],
         contrib_pixels=fwd.contrib,
+        flow=o[..., 20:26],
     )

@@ -46,6 +46,7 @@ def rasterize(
     colors_precomp: Optional[jnp.ndarray] = None,
     phasors_precomp: Optional[jnp.ndarray] = None,
     cov3d_precomp: Optional[jnp.ndarray] = None,
+    flow_precomp: Optional[jnp.ndarray] = None,
 ) -> RenderOutputs:
     P = means3d.shape[0]
     pre = preprocess(
@@ -75,7 +76,7 @@ def rasterize(
         # Single instance gather of one packed feature matrix (random
         # gathers are the expensive primitive on TPU); the kernel consumes
         # the gather-order (T, L, 24) layout directly.
-        packed = pack_gaussian_features(pre)  # (P, 24)
+        packed = pack_gaussian_features(pre, flow=flow_precomp)  # (P, 24)
         T, L = ids.shape
         packed_tl = jnp.take(packed, idc.reshape(-1), axis=0).reshape(T, L, 24)
         out = composite_packed_pallas(packed_tl, ids, bg_map, config)
@@ -89,6 +90,8 @@ def rasterize(
             phasor=jnp.take(pre.phasor, idc, axis=0),
             dist=jnp.take(pre.dist, idc, axis=0),
             dist_ndc=jnp.take(pre.dist_ndc, idc, axis=0),
+            flow=(None if flow_precomp is None
+                  else jnp.take(flow_precomp, idc, axis=0)),
         )
         out = composite_tiles(feats, bg_map, config)
 
@@ -110,4 +113,6 @@ def rasterize(
         num_rendered=binning.num_rendered,
         dup_overflow=binning.dup_overflow,
         tile_overflow=binning.tile_overflow,
+        flow=(None if flow_precomp is None
+              else tiles_to_image(out.flow, config)),
     )

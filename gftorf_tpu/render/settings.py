@@ -131,3 +131,7 @@ class RenderOutputs(NamedTuple):
     num_rendered: jnp.ndarray  # () int32 total duplicated instances
     dup_overflow: jnp.ndarray  # () bool: duplicate capacity exceeded
     tile_overflow: jnp.ndarray  # () int32 max instances dropped in a tile
+    # Fused scene-flow channels (6, H, W), present when flow_precomp was
+    # given: alpha*T-composited with DETACHED weights — the reference's
+    # render_flow output without its extra rasterization passes.
+    flow: Optional[jnp.ndarray] = None

@@ -306,12 +306,14 @@ def _sharded_render(axis_name: str):
 
     def render(means3d, scales, rotations, opacities, shs, shs_p,
                phase_offset, dc_offset, means2d_ndc, bg_map, *,
-               camera, config, active_sh_degree=3, colors_precomp=None):
+               camera, config, active_sh_degree=3, colors_precomp=None,
+               flow_precomp=None):
         return rasterize_sharded(
             means3d, scales, rotations, opacities, shs, shs_p,
             phase_offset, dc_offset, means2d_ndc, bg_map,
             camera=camera, config=config, axis_name=axis_name,
             active_sh_degree=active_sh_degree, colors_precomp=colors_precomp,
+            flow_precomp=flow_precomp,
         )
 
     return render
@@ -533,8 +535,6 @@ def train_step(
             const = jnp.asarray(static.bg_color, jnp.float32)
             bg_tof = jnp.broadcast_to(const[:, None, None], (7, ht, wt))
             bg_color_map = jnp.broadcast_to(const[:, None, None], (7, hc, wc))
-        bg_flow = jnp.zeros((7, ht, wt))
-
         if static.dynamic_on:
             d_xyz, d_rot, d_sh, d_sh_p, d_curr, d_next = _query_deform(
                 static, dfp, p, frame.frame_id, shard_axis, aux.alive
@@ -557,11 +557,49 @@ def train_step(
         )
         dc_offset = p.dc_offset[0] if static.optimize_dc_offset else dc_off_cam
 
+        # 3D scene-flow vectors, fused into the main ToF rasterization as
+        # extra channels with DETACHED alpha*T weights instead of the
+        # reference's two extra render_flow rasterizations
+        # (train.py:243-261; gaussian_renderer/__init__.py:141-204).
+        # Exactness: the flow loss fires only on integration frames
+        # (frame_id % 4 == 0), where _query_deform picks d_xyz = d_curr —
+        # the main render's geometry IS the reference flow pass's
+        # detached geometry `xyz + d_curr`; same weights, same depth
+        # order, zero background.
+        if static.flow_on and static.dynamic_on:
+            def flow_vectors(_):
+                denom = max(static.total_num_views - 1, 1)
+                prev_t = (
+                    (frame.frame_id // 4) * 4 - 4
+                ).astype(jnp.float32) / denom
+                rows, expand = _deform_slots(static, p, aux.alive)
+                d_prev_b, _, _, _ = _apply_deform_rows(
+                    dfp, static.deform, rows,
+                    jnp.broadcast_to(prev_t, (rows.shape[0], 1)), shard_axis,
+                )
+                d_prev = expand(d_prev_b)
+                motion = get_motion_mask(p)[:, None]
+                return jnp.where(
+                    motion,
+                    jnp.concatenate([d_next - d_xyz, d_prev - d_xyz], -1),
+                    0.0,
+                )
+
+            flow_precomp = jax.lax.cond(
+                frame.frame_id % 4 == 0,
+                flow_vectors,
+                lambda _: jnp.zeros((n_points, 6)),
+                operand=None,
+            )
+        else:
+            flow_precomp = None
+
         out_tof = render(
             means3d, scales, rots, opac_inc, shs, shs_p,
             phase_offset, dc_offset, means2d_zero, bg_tof,
             camera=frame.cam_tof, config=static.config_tof,
             active_sh_degree=static.active_sh_degree,
+            flow_precomp=flow_precomp,
         )
         if static.single_camera:
             out_color = out_tof
@@ -641,7 +679,8 @@ def train_step(
             )
             total += weights.mlp_reg * reg
 
-        # Flow loss (train.py:243-261) on integration frames only.
+        # Flow loss (train.py:243-261) on integration frames only, from
+        # the fused flow channels of the main ToF rasterization.
         if static.flow_on and static.dynamic_on:
             def flow_branch(_):
                 k_tof = frame.intrinsics_tof
@@ -651,43 +690,17 @@ def train_step(
                     k_tof[0, 0], k_tof[1, 1], k_tof[0, 2], k_tof[1, 2],
                 )
                 pts2d = project_points(pts3d, view_tof, k_tof)
-                dummy2d = jnp.zeros_like(means2d_zero)
-
-                def render_flow(flow3d):
-                    motion = get_motion_mask(p)
-                    flow_masked = jnp.where(motion[:, None], flow3d, 0.0)
-                    out = render(
-                        jax.lax.stop_gradient(
-                            jnp.where(motion[:, None], p.xyz + d_curr, p.xyz)
-                        ),
-                        jax.lax.stop_gradient(get_scaling(p)),
-                        jax.lax.stop_gradient(get_rotation(p)),
-                        jax.lax.stop_gradient(opac_inc),
-                        None, None, 0.0, 0.0, dummy2d, bg_flow,
-                        camera=frame.cam_tof, config=static.config_tof,
-                        active_sh_degree=static.active_sh_degree,
-                        colors_precomp=flow_masked,
-                    )
-                    return out.color
-
-                fwd = render_flow(d_next - d_xyz)
-                fwd2d = project_flow(pts2d, pts3d, fwd, view_tof, k_tof)
+                fwd2d = project_flow(
+                    pts2d, pts3d, out_tof.flow[0:3], view_tof, k_tof
+                )
                 f_l2 = jnp.where(
                     frame.has_forward_flow,
                     jnp.mean(jnp.square(fwd2d - frame.forward_flow)),
                     0.0,
                 )
-                # backward flow needs d_prev
-                denom = max(static.total_num_views - 1, 1)
-                prev_t = ((frame.frame_id // 4) * 4 - 4).astype(jnp.float32) / denom
-                rows, expand = _deform_slots(static, p, aux.alive)
-                d_prev_b, _, _, _ = _apply_deform_rows(
-                    dfp, static.deform, rows,
-                    jnp.broadcast_to(prev_t, (rows.shape[0], 1)), shard_axis,
+                bwd2d = project_flow(
+                    pts2d, pts3d, out_tof.flow[3:6], view_tof, k_tof
                 )
-                d_prev = expand(d_prev_b)
-                bwd = render_flow(d_prev - d_xyz)
-                bwd2d = project_flow(pts2d, pts3d, bwd, view_tof, k_tof)
                 b_l2 = jnp.where(
                     frame.has_backward_flow,
                     jnp.mean(jnp.square(bwd2d - frame.backward_flow)),

@@ -109,6 +109,80 @@ def test_chunk_divisibility():
     assert np.isfinite(np.asarray(out.color)).all()
 
 
+def test_fused_flow_matches_xla_and_detaches():
+    """Fused flow channels: Pallas == XLA, and gradients of a flow-only
+    loss reach ONLY the flow features (detached alpha*T weights — the
+    reference's geometry-detached render_flow)."""
+    import functools
+
+    sc, feats, bg = build_tile_data(seed=4, num_points=180)
+    T, L = feats.gauss_id.shape
+    flow = jax.random.normal(jax.random.PRNGKey(9), (T, L, 6))
+    feats = feats._replace(flow=flow)
+
+    ref = composite_tiles(feats, bg, sc.config)
+    out = composite_tiles_pallas(feats, bg, sc.config, interpret=True)
+    np.testing.assert_allclose(out.flow, ref.flow, atol=2e-5, rtol=1e-4)
+    np.testing.assert_allclose(out.color, ref.color, atol=2e-5, rtol=1e-4)
+    assert float(jnp.max(jnp.abs(ref.flow))) > 0  # scene actually splats
+
+    def flow_loss(compositor):
+        def f(mean2d, conic, opacity, flw):
+            ft = feats._replace(mean2d=mean2d, conic=conic,
+                                opacity=opacity, flow=flw)
+            return jnp.sum(compositor(ft, bg, sc.config).flow ** 2)
+        return f
+
+    args = (feats.mean2d, feats.conic, feats.opacity, flow)
+    pallas_c = functools.partial(composite_tiles_pallas, interpret=True)
+    for comp in (composite_tiles, pallas_c):
+        g = jax.grad(flow_loss(comp), argnums=(0, 1, 2, 3))(*args)
+        # weights are detached: geometry gets exactly zero
+        for gi, name in zip(g[:3], ["mean2d", "conic", "opacity"]):
+            np.testing.assert_array_equal(
+                np.asarray(gi), 0.0, err_msg=f"{name} leaked grads"
+            )
+        assert float(jnp.max(jnp.abs(g[3]))) > 0
+    g_ref = jax.grad(flow_loss(composite_tiles), argnums=3)(*args)
+    g_pal = jax.grad(flow_loss(pallas_c), argnums=3)(*args)
+    np.testing.assert_allclose(g_pal, g_ref, atol=2e-4, rtol=1e-3)
+
+
+def test_fused_flow_equals_separate_colors_pass():
+    """The fused flow output must equal a separate rasterization that
+    splats the same vectors through colors_precomp with detached
+    geometry (what the reference's render_flow does and what this repo
+    did before fusion) — same weights, same order, zero background."""
+    from gftorf_tpu.render.rasterize import rasterize
+
+    sc = make_scene(jax.random.PRNGKey(11), num_points=160, width=64,
+                    height=48, max_per_tile=512)
+    n = sc.means3d.shape[0]
+    flow3d = jax.random.normal(jax.random.PRNGKey(12), (n, 6))
+    bg0 = jnp.zeros((7, 48, 64))
+    zeros2d = jnp.zeros((n, 2))
+
+    fused = rasterize(
+        sc.means3d, sc.scales, sc.rotations, sc.opacities, sc.shs, sc.shs_p,
+        sc.phase_offset, sc.dc_offset, zeros2d, bg0,
+        camera=sc.camera, config=sc.config, flow_precomp=flow3d,
+    )
+    for half in range(2):
+        sep = rasterize(
+            jax.lax.stop_gradient(sc.means3d),
+            jax.lax.stop_gradient(sc.scales),
+            jax.lax.stop_gradient(sc.rotations),
+            jax.lax.stop_gradient(sc.opacities),
+            None, None, 0.0, 0.0, zeros2d, bg0,
+            camera=sc.camera, config=sc.config,
+            colors_precomp=flow3d[:, 3 * half: 3 * half + 3],
+        )
+        np.testing.assert_allclose(
+            fused.flow[3 * half: 3 * half + 3], sep.color,
+            atol=1e-5, rtol=1e-4,
+        )
+
+
 def test_pallas_dense_overlap():
     sc, feats, bg = build_tile_data(seed=1, num_points=400,
                                     max_per_tile=1024)

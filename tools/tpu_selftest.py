@@ -43,23 +43,25 @@ def main():
     bg = jax.random.uniform(jax.random.PRNGKey(1),
                             (7, sc.config.height, sc.config.width))
     zeros2d = jnp.zeros((n, 2))
+    flow3d = jax.random.normal(jax.random.PRNGKey(2), (n, 6))
 
     def run(use_pallas):
         config = dataclasses.replace(sc.config, use_pallas=use_pallas)
 
-        def loss(means3d, scales, opac):
+        def loss(means3d, scales, opac, flow):
             out = rasterize(
                 means3d, scales, sc.rotations, opac, sc.shs, sc.shs_p,
                 0.1, 0.02, zeros2d, bg, camera=sc.camera, config=config,
+                flow_precomp=flow,
             )
             return (
                 jnp.sum(out.color**2) + jnp.sum(out.phasor**2)
-                + 0.3 * jnp.sum(out.depth), out
+                + 0.3 * jnp.sum(out.depth) + jnp.sum(out.flow**2), out
             )
 
         (val, out), grads = jax.jit(
-            jax.value_and_grad(loss, argnums=(0, 1, 2), has_aux=True)
-        )(sc.means3d, sc.scales, sc.opacities)
+            jax.value_and_grad(loss, argnums=(0, 1, 2, 3), has_aux=True)
+        )(sc.means3d, sc.scales, sc.opacities, flow3d)
         return (np.asarray(val), jax.tree.map(np.asarray, out),
                 jax.tree.map(np.asarray, grads))
 
@@ -68,10 +70,10 @@ def main():
 
     errs = {}
     errs["loss_rel"] = float(abs(v_p - v_x) / (abs(v_x) + 1e-8))
-    for name in ("color", "phasor", "depth", "acc"):
+    for name in ("color", "phasor", "depth", "acc", "flow"):
         a, b = getattr(out_x, name), getattr(out_p, name)
         errs[f"{name}_max"] = float(np.max(np.abs(a - b)))
-    for g1, g2, name in zip(g_x, g_p, ("means3d", "scales", "opac")):
+    for g1, g2, name in zip(g_x, g_p, ("means3d", "scales", "opac", "flow")):
         # norm-relative + globally-scaled max-abs: the per-row relative
         # error is meaningless on near-zero gradient rows, and the /q
         # suffix subtractions legitimately reorder f32 accumulation
@@ -85,11 +87,13 @@ def main():
     ok = (
         errs["loss_rel"] < 1e-5
         and all(errs[f"{c}_max"] < 1e-4 for c in ("color", "phasor",
-                                                  "depth", "acc"))
+                                                  "depth", "acc", "flow"))
         and all(errs[f"g_{p}_norm_rel"] < 1e-3 for p in ("means3d",
-                                                         "scales", "opac"))
+                                                         "scales", "opac",
+                                                         "flow"))
         and all(errs[f"g_{p}_max_scaled"] < 1e-2 for p in ("means3d",
-                                                           "scales", "opac"))
+                                                           "scales", "opac",
+                                                           "flow"))
     )
     print(json.dumps({"ok": bool(ok), "backend": "tpu",
                       **{k: round(v, 8) for k, v in errs.items()}}))
