@@ -311,3 +311,17 @@ def write_scene_metadata(scene: "Scene", model_path: str) -> None:
         f.write("Namespace(" + ", ".join(
             f"{k}={v!r}" for k, v in sorted(vars(m).items())
         ) + ")")
+    # input.ply: the initialization point cloud, for viewers/debugging
+    # (scene/__init__.py:69-71 copies it into model_path).
+    from gftorf_tpu.utils.ply import write_ply
+
+    pts = np.asarray(scene.data.points, np.float32)
+    rgb = np.clip(np.asarray(scene.data.colors) * 255.0, 0, 255)
+    write_ply(os.path.join(model_path, "input.ply"), {
+        "x": pts[:, 0], "y": pts[:, 1], "z": pts[:, 2],
+        "nx": np.zeros_like(pts[:, 0]), "ny": np.zeros_like(pts[:, 0]),
+        "nz": np.zeros_like(pts[:, 0]),
+        "red": rgb[:, 0].astype(np.uint8),
+        "green": rgb[:, 1].astype(np.uint8),
+        "blue": rgb[:, 2].astype(np.uint8),
+    })

@@ -90,3 +90,45 @@ def test_dryrun_multichip():
     import __graft_entry__ as ge
 
     ge.dryrun_multichip(8)
+
+
+def test_distributed_initialize_mesh_psum():
+    """The --distributed path (SURVEY §2.3 comm backend): a subprocess
+    runs jax.distributed.initialize() as a single-process coordinator,
+    builds the (data, shard) mesh over 8 virtual CPU devices, and
+    psums over both axes through shard_map — exactly what a multi-host
+    launch does per process, minus the extra hosts."""
+    import os
+    import subprocess
+    import sys
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    script = """
+import os
+os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=8"
+import jax
+jax.config.update("jax_platforms", "cpu")
+jax.distributed.initialize(coordinator_address="localhost:45217",
+                           num_processes=1, process_id=0)
+import jax.numpy as jnp
+from jax import shard_map
+from jax.sharding import PartitionSpec as P
+from gftorf_tpu.parallel.mesh import make_mesh
+
+assert jax.process_count() == 1
+mesh = make_mesh(data=2, shard=4)
+
+def f(x):
+    local = jnp.sum(x * x)
+    return jax.lax.psum(jax.lax.psum(local, "shard"), "data")
+
+g = shard_map(f, mesh=mesh, in_specs=P("data", "shard"), out_specs=P())
+x = jnp.arange(16.0).reshape(4, 4)
+print("TOTAL", float(g(x)))
+"""
+    env = dict(os.environ, PYTHONPATH=repo, JAX_PLATFORMS="")
+    out = subprocess.run([sys.executable, "-c", script], env=env, cwd=repo,
+                         capture_output=True, text=True, timeout=300)
+    assert out.returncode == 0, out.stderr[-2000:]
+    total = float(out.stdout.strip().split("TOTAL")[1])
+    assert total == float(sum(i * i for i in range(16)))

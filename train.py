@@ -45,6 +45,14 @@ def build_parser() -> argparse.ArgumentParser:
                         default=None)
     parser.add_argument("--start_checkpoint", type=str, default=None)
     parser.add_argument("--quiet", action="store_true")
+    parser.add_argument("--distributed", action="store_true",
+                        help="multi-host: call jax.distributed.initialize() "
+                             "(coordinator address / process count / process "
+                             "id from the standard JAX env vars) before any "
+                             "device enumeration, so the (data, shard) mesh "
+                             "spans every host's chips and XLA routes "
+                             "collectives over ICI within a slice and DCN "
+                             "across hosts (SURVEY §2.3)")
     parser.add_argument("--tensorboard", action="store_true",
                         help="also write TensorBoard event files to "
                              "model_path (scalars every logged iter, "
@@ -80,9 +88,15 @@ def main(argv=None):
         import jax
 
         jax.config.update("jax_platforms", args.platform)
+    if args.distributed:
+        import jax
+
+        # Must run before any backend/device enumeration; idempotent
+        # guards are the caller's job (one initialize per process).
+        jax.distributed.initialize()
     overrides = {k: v for k, v in vars(args).items()
                  if k not in ("config", "quiet", "start_checkpoint",
-                              "platform", "profile_steps")
+                              "platform", "profile_steps", "distributed")
                  and v is not None}
     cfg = Config.from_json(args.config, overrides)
 
