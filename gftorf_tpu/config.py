@@ -181,6 +181,9 @@ class TpuParams:
     mesh_shards: int = 1  # devices for tile/primitive sharding
     mesh_data: int = 1  # devices for camera data-parallelism
     use_pallas: bool = True
+    # Gather alive rows into a next-pow2 bucket before rasterization so
+    # per-Gaussian preprocess cost tracks the live count, not capacity.
+    compact_render: bool = True
     test_iterations: List[int] = field(default_factory=list)
     save_iterations: List[int] = field(default_factory=list)
     checkpoint_iterations: List[int] = field(default_factory=list)

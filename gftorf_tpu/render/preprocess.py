@@ -141,7 +141,16 @@ def preprocess(
         jnp.floor((m2d[..., 1] + r + config.tile_h - 1) / config.tile_h), 0, gh
     ).astype(jnp.int32)
     tiles_touched = (x1 - x0) * (y1 - y0)
-    valid = in_frustum & det_ok & (tiles_touched > 0)
+    # Zero-opacity cull (deviation from forward.cu, which only skips
+    # alpha < 1/255 per pixel): an instance with opacity exactly 0
+    # contributes nothing to any output and its upstream gradients are
+    # blocked by the caller's include/alive masking, but it would still
+    # occupy a lane in every tile it touches. Training zeroes opacity
+    # for excluded/pruned capacity slots, so without this cull dead
+    # slots bloat the dense (T, L) layout and can force spurious
+    # max_per_tile escalation. Output-identical; the only gradient it
+    # drops is dL/dopacity AT opacity == 0, which no caller consumes.
+    valid = in_frustum & det_ok & (tiles_touched > 0) & (opacities > 0.0)
     tiles_touched = jnp.where(valid, tiles_touched, 0)
     rect = jnp.stack([x0, y0, x1, y1], axis=-1)
 

@@ -141,24 +141,34 @@ class Trainer:
             self.render_regions = ("static", "dynamic")
 
         self.deform_bucket = 0
+        self.render_bucket = 0
         self._update_deform_bucket()
 
     def _update_deform_bucket(self):
-        """Deform-MLP compaction bucket: next pow2 over the dynamic+alive
-        count (+5% headroom). The count only changes at densify/prune
-        events, which is exactly when this is recalled; a bucket change
-        costs one recompile of the step."""
-        if not self.cfg.model.dynamic:
-            self.deform_bucket = 0
-            return
-        n_dyn = int(jnp.sum(
-            get_motion_mask(self.model.params) & self.model.aux.alive
-        ))
+        """Compaction buckets, host-tracked as next pow2 over the live
+        counts (+5% headroom): the deform MLP evaluates only the
+        dynamic+alive rows, the render path preprocesses only the alive
+        rows. Both counts change exclusively at densify/prune events,
+        which is exactly when this is recalled; a bucket change costs
+        one recompile of the step."""
         cap = int(self.model.aux.alive.shape[0])
-        b = 1024
-        while b < int(n_dyn * 1.05) + 1:
-            b *= 2
-        self.deform_bucket = 0 if b >= cap else b
+
+        def bucket(count):
+            b = 1024
+            while b < int(count * 1.05) + 1:
+                b *= 2
+            return 0 if b >= cap else b
+
+        if self.cfg.model.dynamic:
+            self.deform_bucket = bucket(int(jnp.sum(
+                get_motion_mask(self.model.params) & self.model.aux.alive
+            )))
+        else:
+            self.deform_bucket = 0
+        if self.cfg.tpu.compact_render:
+            self.render_bucket = bucket(int(jnp.sum(self.model.aux.alive)))
+        else:
+            self.render_bucket = 0
 
     # ------------------------------------------------------------------
     def _raster_config(self, tof: bool):
@@ -215,6 +225,7 @@ class Trainer:
                                        self.opacity_reset_interval),
             mesh_shape=self.mesh_shape,
             deform_bucket=self.deform_bucket,
+            render_bucket=self.render_bucket,
         )
 
     def _pick_camera(self) -> int:
@@ -252,6 +263,16 @@ class Trainer:
         vals = np.asarray(rec["packed"])
         metrics = dict(zip(METRIC_NAMES, [float(v) for v in vals]))
 
+        if metrics["compact_overflow"] > 0:
+            # Invariant violation, not a data condition: the render
+            # bucket is sized from the alive count at every event that
+            # can change it. Truncated rows would silently drop points.
+            raise RuntimeError(
+                f"render compaction truncated "
+                f"{int(metrics['compact_overflow'])} rows at iter "
+                f"{rec['it']} (bucket {self.render_bucket}) — bucket "
+                f"tracking bug"
+            )
         if metrics["tile_overflow"] > 0:
             if self.tile_cap < self.tile_cap_limit:
                 metrics = self._grow_and_replay(rec)

@@ -86,7 +86,7 @@ class FrameData(NamedTuple):
 # entries are zero so the layout never depends on the static config).
 METRIC_NAMES = (
     "loss", "l1_color", "l1_p", "flow_l2", "num_rendered", "dup_overflow",
-    "tile_overflow", "visible", "num_points",
+    "tile_overflow", "visible", "num_points", "compact_overflow",
 )
 
 
@@ -286,6 +286,13 @@ class StepStatic:
     # capacity slots). Host-tracked: next pow2 >= dynamic+alive count,
     # recomputed at densify/prune events (count is constant in between).
     deform_bucket: int = 0
+    # Alive-compaction bucket for the render path (0 = preprocess all
+    # capacity slots). Host-tracked next pow2 >= alive count: the
+    # rendered (included) rows are gathered into a (B,) bucket before
+    # rasterization so per-Gaussian preprocess/packing cost scales with
+    # the live point count instead of the capacity (which carries up to
+    # 2x headroom for densification between growth replays).
+    render_bucket: int = 0
 
 
 class StepAux(NamedTuple):
@@ -594,22 +601,67 @@ def train_step(
         else:
             flow_precomp = None
 
+        # Alive compaction: gather the included rows into a (B,) bucket
+        # so preprocess/packing scale with the live count, not capacity.
+        # Fill rows duplicate slot n-1 with opacity forced to 0 — the
+        # zero-opacity cull in preprocess drops them from binning, their
+        # compositing weights are exactly 0, and the means2d_zero take
+        # transposes scatter-add exact zeros back to the duplicated slot,
+        # so outputs, gradients and densify stats are bit-compatible
+        # with the uncompacted program.
+        compact_overflow = jnp.int32(0)
+        if static.render_bucket and static.render_bucket < n_points:
+            (rend_rows,) = jnp.where(
+                include, size=static.render_bucket, fill_value=n_points
+            )
+            # Invariant: the Trainer sizes the bucket from the alive
+            # count ⊇ include at every densify/prune/restore event. A
+            # nonzero value here means jnp.where silently truncated
+            # rows — the Trainer turns it into a hard error.
+            compact_overflow = (
+                jnp.sum(include) - static.render_bucket
+            ).clip(0).astype(jnp.int32)
+            safe = jnp.minimum(rend_rows, n_points - 1)
+            row_ok = rend_rows < n_points
+
+            def rgather(x):
+                return jnp.take(x, safe, axis=0)
+
+            r_means3d, r_scales, r_rots = map(rgather, (means3d, scales, rots))
+            r_opac = jnp.where(row_ok, rgather(opac_inc), 0.0)
+            r_shs, r_shs_p = rgather(shs), rgather(shs_p)
+            r_means2d = rgather(means2d_zero)
+            r_flow = None if flow_precomp is None else rgather(flow_precomp)
+
+            def rexpand(v):  # per-Gaussian render outputs -> capacity rows
+                return (
+                    jnp.zeros((n_points,) + v.shape[1:], v.dtype)
+                    .at[rend_rows].set(v, mode="drop")
+                )
+        else:
+            r_means3d, r_scales, r_rots = means3d, scales, rots
+            r_opac, r_shs, r_shs_p = opac_inc, shs, shs_p
+            r_means2d, r_flow = means2d_zero, flow_precomp
+            rexpand = lambda v: v  # noqa: E731
+
         out_tof = render(
-            means3d, scales, rots, opac_inc, shs, shs_p,
-            phase_offset, dc_offset, means2d_zero, bg_tof,
+            r_means3d, r_scales, r_rots, r_opac, r_shs, r_shs_p,
+            phase_offset, dc_offset, r_means2d, bg_tof,
             camera=frame.cam_tof, config=static.config_tof,
             active_sh_degree=static.active_sh_degree,
-            flow_precomp=flow_precomp,
+            flow_precomp=r_flow,
         )
         if static.single_camera:
             out_color = out_tof
         else:
             out_color = render(
-                means3d, scales, rots, opac_inc, shs, shs_p,
-                phase_offset, dc_offset, means2d_zero, bg_color_map,
+                r_means3d, r_scales, r_rots, r_opac, r_shs, r_shs_p,
+                phase_offset, dc_offset, r_means2d, bg_color_map,
                 camera=frame.cam_color, config=static.config_color,
                 active_sh_degree=static.active_sh_degree,
             )
+        radii_full = rexpand(out_tof.radii)
+        pixels_full = rexpand(out_tof.pixels[:, 0])
         image = out_color.color
         phasor = out_tof.phasor
         depth = out_tof.depth
@@ -734,7 +786,7 @@ def train_step(
         # radii stay nonzero for excluded/pruned points (only opacity is
         # zeroed before rasterize), so visibility needs the include mask.
         if static.scale_on:
-            vis = (out_tof.radii > 0) & include
+            vis = (radii_full > 0) & include
             s = get_scaling(p)
             per = jnp.mean(s, axis=-1) ** 2
             total += weights.scale * jnp.sum(per * vis) / jnp.maximum(
@@ -742,10 +794,11 @@ def train_step(
             )
 
         metrics["loss"] = total
+        metrics["compact_overflow"] = compact_overflow
         aux_out = StepAux(
             metrics=metrics,
-            radii=out_tof.radii,
-            pixels=out_tof.pixels[:, 0],
+            radii=radii_full,
+            pixels=pixels_full,
             num_rendered=out_tof.num_rendered,
             dup_overflow=out_tof.dup_overflow,
             tile_overflow=out_tof.tile_overflow,

@@ -21,3 +21,20 @@ jax.config.update("jax_enable_x64", False)
 
 def pytest_report_header(config):
     return f"jax devices: {jax.devices()}"
+
+
+import pytest  # noqa: E402
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _clear_jax_caches_between_modules():
+    """Full-suite runs accumulate hundreds of live CPU executables and
+    have twice segfaulted inside XLA's backend_compile ~25 min in
+    (always in whichever heavy-compile test runs around the 70% mark);
+    per-module cache clearing keeps the compiler's live-state footprint
+    bounded. Individual modules are unaffected (they recompile their own
+    programs anyway)."""
+    yield
+    import jax
+
+    jax.clear_caches()

@@ -351,3 +351,78 @@ def test_injit_schedule_matches_host_schedule():
             np.float32(deform_lr_at(opt, it)), rtol=2e-6,
             err_msg=f"deform @ it={it}",
         )
+
+
+def test_render_compaction_matches_uncompacted():
+    """render_bucket gathers alive rows into a smaller bucket before
+    rasterization; outputs, gradients, Adam updates and densification
+    stats must match the uncompacted program exactly — including dead
+    slots with stale in-frustum xyz (pruned points), which the
+    zero-opacity cull must keep out of the tile lanes."""
+    key = jax.random.PRNGKey(2)
+    sc = make_scene(key, num_points=128, width=48, height=32)
+    n = 128
+    bg0 = jnp.zeros((7, sc.config.height, sc.config.width))
+    target = rasterize(
+        sc.means3d, sc.scales, sc.rotations, sc.opacities, sc.shs, sc.shs_p,
+        0.0, 0.0, jnp.zeros((n, 2)), bg0, camera=sc.camera, config=sc.config,
+    )
+    frame = build_frame(sc, target.color, target.phasor[:3])
+    params = params_from_scene(sc, jitter=0.05, key=jax.random.fold_in(key, 5))
+    # half dynamic, and 30 dead slots that keep stale (visible) geometry
+    params = params._replace(
+        seg_color=params.seg_color.at[: n // 2, 0].set(1.0)
+    )
+    alive = jnp.ones((n,), bool).at[50:80].set(False)
+    zeros = jax.tree.map(jnp.zeros_like, params)
+    model = GaussianModelState(
+        params=params,
+        aux=GaussianAux(
+            alive=alive,
+            max_radii2d=jnp.zeros((n,)),
+            xyz_grad_accum=jnp.zeros((n,)),
+            denom=jnp.zeros((n,)),
+        ),
+        adam=AdamState(mu=zeros, nu=zeros, step=jnp.int32(0)),
+    )
+    deform_cfg = DeformConfig(depth=2, width=32, sh_degree=3)
+    deform = init_deform(jax.random.fold_in(key, 7), deform_cfg)
+    deform_adam = AdamState(
+        mu=jax.tree.map(jnp.zeros_like, deform),
+        nu=jax.tree.map(jnp.zeros_like, deform),
+        step=jnp.int32(0),
+    )
+    base = StepStatic(
+        scene_type="torf", config_color=sc.config, config_tof=sc.config,
+        deform=deform_cfg, active_sh_degree=3, total_num_views=2,
+        render_regions=("static", "dynamic"), dynamic_on=True,
+        sync_phase=False, use_quad=False, use_wl1c=False, use_wl1p=False,
+        wl1p_e=0.1, num_phasor_channels=2, color_on=True, depth_on=False,
+        dd_on=True, oe_on=True, scale_on=True, mlp_reg_on=True,
+        flow_on=False, optimize_phase_offset=False, optimize_dc_offset=False,
+        random_bg=True, scene_extent=5.0,
+    )
+    opt = OptimizationParams()
+    opt.lambda_dd = 0.01
+    opt.use_opacity_entropy_loss = True
+    opt.use_scale_loss = True
+    opt.lambda_mlp_reg = 0.01
+    base = dataclasses.replace(
+        base, sched=SchedStatic.from_opt(opt, 1.0, opt.opacity_reset_interval)
+    )
+    frames = stack1(frame)
+
+    results = {}
+    for bucket in (0, 112):
+        static = dataclasses.replace(base, render_bucket=bucket)
+        results[bucket] = train_step(
+            static, model, deform, deform_adam, frames,
+            jnp.int32(0), jnp.int32(3001), key,
+        )
+    for a, b, name in zip(jax.tree.leaves(results[0]),
+                          jax.tree.leaves(results[112]),
+                          range(10**6)):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=1e-6, rtol=1e-5,
+            err_msg=f"leaf {name} diverged between compacted/uncompacted",
+        )
