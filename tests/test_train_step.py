@@ -353,12 +353,18 @@ def test_injit_schedule_matches_host_schedule():
         )
 
 
-def test_render_compaction_matches_uncompacted():
+import pytest
+
+
+@pytest.mark.parametrize("scene_type", ["torf", "ftorf"])
+def test_render_compaction_matches_uncompacted(scene_type):
     """render_bucket gathers alive rows into a smaller bucket before
     rasterization; outputs, gradients, Adam updates and densification
     stats must match the uncompacted program exactly — including dead
     slots with stale in-frustum xyz (pruned points), which the
-    zero-opacity cull must keep out of the tile lanes."""
+    zero-opacity cull must keep out of the tile lanes. The ftorf case
+    adds quad selection + the fused-flow channels (flow_precomp is
+    gathered too, and the flow loss fires: frame_id % 4 == 0)."""
     key = jax.random.PRNGKey(2)
     sc = make_scene(key, num_points=128, width=48, height=32)
     n = 128
@@ -368,6 +374,19 @@ def test_render_compaction_matches_uncompacted():
         0.0, 0.0, jnp.zeros((n, 2)), bg0, camera=sc.camera, config=sc.config,
     )
     frame = build_frame(sc, target.color, target.phasor[:3])
+    if scene_type == "ftorf":
+        h, w = sc.config.height, sc.config.width
+        fk = jax.random.fold_in(key, 99)
+        frame = frame._replace(
+            frame_id=jnp.int32(4),  # integration frame: flow loss fires
+            gt_quad=jax.random.uniform(fk, (4, h, w)),
+            forward_flow=jax.random.normal(jax.random.fold_in(fk, 1),
+                                           (2, h, w)),
+            backward_flow=jax.random.normal(jax.random.fold_in(fk, 2),
+                                            (2, h, w)),
+            has_forward_flow=jnp.asarray(True),
+            has_backward_flow=jnp.asarray(True),
+        )
     params = params_from_scene(sc, jitter=0.05, key=jax.random.fold_in(key, 5))
     # half dynamic, and 30 dead slots that keep stale (visible) geometry
     params = params._replace(
@@ -392,15 +411,17 @@ def test_render_compaction_matches_uncompacted():
         nu=jax.tree.map(jnp.zeros_like, deform),
         step=jnp.int32(0),
     )
+    ftorf = scene_type == "ftorf"
     base = StepStatic(
-        scene_type="torf", config_color=sc.config, config_tof=sc.config,
-        deform=deform_cfg, active_sh_degree=3, total_num_views=2,
+        scene_type=scene_type, config_color=sc.config, config_tof=sc.config,
+        deform=deform_cfg, active_sh_degree=3,
+        total_num_views=12 if ftorf else 2,
         render_regions=("static", "dynamic"), dynamic_on=True,
-        sync_phase=False, use_quad=False, use_wl1c=False, use_wl1p=False,
+        sync_phase=False, use_quad=ftorf, use_wl1c=False, use_wl1p=False,
         wl1p_e=0.1, num_phasor_channels=2, color_on=True, depth_on=False,
         dd_on=True, oe_on=True, scale_on=True, mlp_reg_on=True,
-        flow_on=False, optimize_phase_offset=False, optimize_dc_offset=False,
-        random_bg=True, scene_extent=5.0,
+        flow_on=ftorf, optimize_phase_offset=False, optimize_dc_offset=False,
+        random_bg=True, scene_extent=5.0, single_camera=ftorf,
     )
     opt = OptimizationParams()
     opt.lambda_dd = 0.01
@@ -422,7 +443,10 @@ def test_render_compaction_matches_uncompacted():
     for a, b, name in zip(jax.tree.leaves(results[0]),
                           jax.tree.leaves(results[112]),
                           range(10**6)):
+        # rtol 1e-4: the gather-transpose scatter-add reorders the f32
+        # accumulation of per-Gaussian gradient reductions (observed
+        # max rel diff 3e-5 on the ftorf+flow path, structure identical)
         np.testing.assert_allclose(
-            np.asarray(a), np.asarray(b), atol=1e-6, rtol=1e-5,
+            np.asarray(a), np.asarray(b), atol=1e-6, rtol=1e-4,
             err_msg=f"leaf {name} diverged between compacted/uncompacted",
         )
