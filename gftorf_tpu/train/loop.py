@@ -199,18 +199,20 @@ class Trainer:
             use_wl1p=opt.use_wl1p,
             wl1p_e=opt.wl1p_e,
             num_phasor_channels=opt.num_phasor_channels,
-            color_on=self.lambda_color != 0.0,
+            # Loss windows and the tof_iters color flip are traced
+            # weight gates inside the step (_weights_at) — these static
+            # flags only say whether the term exists at all, so window
+            # boundaries never recompile the program.
+            color_on=(opt.lambda_color != 0.0
+                      or 0 < opt.tof_iters <= opt.iterations),
             depth_on=opt.lambda_depth != 0.0,
-            dd_on=(opt.lambda_dd != 0.0 and opt.dd_loss_iter_start < iteration
-                   < opt.dd_loss_iter_end),
-            oe_on=(opt.use_opacity_entropy_loss
-                   and opt.oe_loss_iter_start < iteration < opt.oe_loss_iter_end),
-            scale_on=(opt.use_scale_loss and opt.scale_loss_iter_start
-                      < iteration < opt.scale_loss_iter_end
-                      and iteration > opt.warm_up),
+            dd_on=(opt.lambda_dd != 0.0
+                   and opt.dd_loss_iter_end > opt.dd_loss_iter_start + 1),
+            oe_on=opt.use_opacity_entropy_loss,
+            scale_on=opt.use_scale_loss,
             mlp_reg_on=opt.lambda_mlp_reg != 0.0,
             flow_on=(self.scene.scene_type == "ftorf"
-                     and iteration > opt.flow_loss_iter_start and dynamic_on),
+                     and opt.lambda_flow != 0.0 and dynamic_on),
             optimize_phase_offset=opt.optimize_phase_offset,
             optimize_dc_offset=opt.optimize_dc_offset,
             random_bg=m.random_bg_color,
@@ -221,8 +223,13 @@ class Trainer:
             single_camera=self.scene.cameras_identical,
             deform_sync=iteration <= opt.optimize_sync_iters,
             frozen_gauss=iteration >= opt.densify_until_iter,
-            sched=SchedStatic.from_opt(opt, self.lambda_color,
-                                       self.opacity_reset_interval),
+            # Initial values: the tof_iters flip of lambda_color and the
+            # reset-interval halving happen in-jit (traced on `it`), so
+            # the host-mutated copies must NOT leak into the static
+            # config (that would recompile at the flip and double-halve
+            # the interval on resume).
+            sched=SchedStatic.from_opt(opt, opt.lambda_color,
+                                       opt.opacity_reset_interval),
             mesh_shape=self.mesh_shape,
             deform_bucket=self.deform_bucket,
             render_bucket=self.render_bucket,

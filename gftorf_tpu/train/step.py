@@ -139,6 +139,18 @@ class SchedStatic(NamedTuple):
                                        0.0, 0.0, 0.0)
     opacity_reset_interval: int = 3000
     densify_until_iter: int = 15000
+    # Loss windows, applied as TRACED weight gates inside the step (a
+    # zero weight instead of a recompile: each static phase flip costs
+    # minutes of XLA compile through the TPU tunnel, and these terms are
+    # cheap to compute unconditionally). Strict bounds like the
+    # reference's `start < iteration < end` checks (train.py:264-277).
+    tof_iters: int = 0  # >0: lambda_color -> 1.0 and opacity-reset
+    #                     interval halves AFTER this iteration
+    #                     (train.py:476-478)
+    dd_window: Tuple[int, int] = (0, 0)
+    oe_window: Tuple[int, int] = (0, 0)
+    scale_window: Tuple[int, int] = (0, 0)
+    flow_start: int = 0
 
     @staticmethod
     def from_opt(opt, lambda_color: float,
@@ -170,7 +182,45 @@ class SchedStatic(NamedTuple):
             ),
             opacity_reset_interval=opacity_reset_interval,
             densify_until_iter=opt.densify_until_iter,
+            tof_iters=opt.tof_iters,
+            dd_window=(opt.dd_loss_iter_start, opt.dd_loss_iter_end),
+            oe_window=(opt.oe_loss_iter_start, opt.oe_loss_iter_end),
+            scale_window=(opt.scale_loss_iter_start, opt.scale_loss_iter_end),
+            flow_start=opt.flow_loss_iter_start,
         )
+
+
+def _weights_at(static: "StepStatic", it) -> LossWeights:
+    """Effective loss weights at iteration ``it``, computed in-jit so
+    window boundaries and the tof_iters color flip do not recompile the
+    step (each phase recompile costs minutes through the TPU tunnel).
+    Gated terms run with weight 0.0 outside their window — they are all
+    cheap relative to one rasterization."""
+    s = static.sched
+    w = s.weights
+
+    def window(bounds, lam):
+        b, e = bounds
+        if lam == 0.0 or e <= b + 1:
+            return 0.0
+        return jnp.where((b < it) & (it < e), lam, 0.0)
+
+    color = w.color
+    if s.tof_iters > 0:
+        color = jnp.where(it > s.tof_iters, 1.0, w.color)
+    scale = window(s.scale_window, w.scale)
+    if w.scale != 0.0:
+        scale = jnp.where(it > s.warm_up, scale, 0.0)
+    flow = w.flow
+    if w.flow != 0.0 and s.flow_start > 0:
+        flow = jnp.where(it > s.flow_start, w.flow, 0.0)
+    return w._replace(
+        color=color,
+        dd=window(s.dd_window, w.dd),
+        oe=window(s.oe_window, w.oe),
+        scale=scale,
+        flow=flow,
+    )
 
 
 def _expon_lr(it_f, lr_init: float, lr_final: float, max_steps: int):
@@ -503,14 +553,22 @@ def train_step(
     idxs = jnp.atleast_1d(jnp.asarray(idx, jnp.int32))
 
     key = jax.random.fold_in(base_key, it)
-    weights = static.sched.weights
+    weights = _weights_at(static, it)
     lrs = _gaussian_lrs_at(static, it)
     deform_lr = _deform_lr_at(static, it)
     # Deform pause for 200 iters after each opacity reset
-    # (train.py:471-472) — a skipped step, not an lr of zero.
+    # (train.py:471-472) — a skipped step, not an lr of zero. The reset
+    # interval halves after tof_iters (train.py:478) — traced, like the
+    # host-side reset cadence in train/loop.py, so the flip does not
+    # recompile the step.
     s = static.sched
+    reset_interval = jnp.int32(s.opacity_reset_interval)
+    if s.tof_iters > 0:
+        reset_interval = jnp.where(
+            it > s.tof_iters, reset_interval // 2, reset_interval
+        )
     deform_step_on = (
-        (it % s.opacity_reset_interval > 200)
+        (it % reset_interval > 200)
         | (it >= s.densify_until_iter)
     ).astype(jnp.float32)
 
@@ -767,7 +825,11 @@ def train_step(
                 operand=None,
             )
             total += weights.flow * (f_l2 + b_l2)
-            metrics["flow_l2"] = f_l2 + b_l2
+            # flow fires before its weight window opens (the gate is a
+            # traced weight, not a recompile) — keep the log clean.
+            metrics["flow_l2"] = jnp.where(
+                jnp.asarray(weights.flow) > 0, f_l2 + b_l2, 0.0
+            )
 
         # Depth-distortion loss (train.py:266-267)
         if static.dd_on:

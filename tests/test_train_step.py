@@ -425,6 +425,7 @@ def test_render_compaction_matches_uncompacted(scene_type):
     )
     opt = OptimizationParams()
     opt.lambda_dd = 0.01
+    opt.dd_loss_iter_end = 10_000  # windows are traced weight gates
     opt.use_opacity_entropy_loss = True
     opt.use_scale_loss = True
     opt.lambda_mlp_reg = 0.01

@@ -94,6 +94,20 @@ def main(argv=None):
         # Must run before any backend/device enumeration; idempotent
         # guards are the caller's job (one initialize per process).
         jax.distributed.initialize()
+    try:
+        import jax
+
+        # Persistent compilation cache: phase recompiles and watchdog
+        # restarts cost minutes each through the TPU tunnel; cached
+        # executables make them near-free. Unsupported backends just log
+        # a warning and skip caching.
+        jax.config.update(
+            "jax_compilation_cache_dir",
+            os.environ.get("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache"),
+        )
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+    except Exception as e:
+        print(f"[warn] compilation cache unavailable: {e}", flush=True)
     overrides = {k: v for k, v in vars(args).items()
                  if k not in ("config", "quiet", "start_checkpoint",
                               "platform", "profile_steps", "distributed")
