@@ -43,14 +43,9 @@ def main():
 
     if args.platform:
         jax.config.update("jax_platforms", args.platform)
-    try:
-        jax.config.update(
-            "jax_compilation_cache_dir",
-            os.environ.get("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache"),
-        )
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
-    except Exception as e:
-        print(f"[warn] compilation cache unavailable: {e}")
+    from gftorf_tpu.utils.runtime import enable_compilation_cache
+
+    enable_compilation_cache()
 
     from gftorf_tpu.config import Config
     from gftorf_tpu.data.generate import write_dataset

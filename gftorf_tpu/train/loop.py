@@ -2,9 +2,10 @@
 
 The inner step is one jitted program (train.step.train_step); this loop
 handles everything with host-visible control flow: camera sampling,
-iteration-windowed loss flags (recompiling the step at the handful of
-phase boundaries), densification cadence, opacity resets, SH warm-up,
-the tof_iters lambda flip, eval reports, and checkpoints.
+densification cadence, opacity resets, SH warm-up, eval reports, and
+checkpoints. Loss windows and the tof_iters flip are traced weight
+gates inside the step (step._weights_at) — only structural transitions
+(warm-up/dynamic, sync end, densify freeze, bucket growth) recompile.
 """
 
 from __future__ import annotations
@@ -203,8 +204,10 @@ class Trainer:
             # weight gates inside the step (_weights_at) — these static
             # flags only say whether the term exists at all, so window
             # boundaries never recompile the program.
+            # strict <: the traced flip is `it > tof_iters`, so a flip
+            # scheduled at the final iteration never takes effect
             color_on=(opt.lambda_color != 0.0
-                      or 0 < opt.tof_iters <= opt.iterations),
+                      or 0 < opt.tof_iters < opt.iterations),
             depth_on=opt.lambda_depth != 0.0,
             dd_on=(opt.lambda_dd != 0.0
                    and opt.dd_loss_iter_end > opt.dd_loss_iter_start + 1),
@@ -274,11 +277,12 @@ class Trainer:
             # Invariant violation, not a data condition: the render
             # bucket is sized from the alive count at every event that
             # can change it. Truncated rows would silently drop points.
+            # (The count is data-axis-averaged — report it raw.)
             raise RuntimeError(
-                f"render compaction truncated "
-                f"{int(metrics['compact_overflow'])} rows at iter "
-                f"{rec['it']} (bucket {self.render_bucket}) — bucket "
-                f"tracking bug"
+                f"render compaction truncated rows at iter {rec['it']} "
+                f"(mean over data slices: {metrics['compact_overflow']}, "
+                f"bucket at dispatch: {rec['static'].render_bucket}) — "
+                f"bucket tracking bug"
             )
         if metrics["tile_overflow"] > 0:
             if self.tile_cap < self.tile_cap_limit:

@@ -845,8 +845,9 @@ def train_step(
             )
 
         # Scale regularizer on visible gaussians (train.py:275-277).
-        # radii stay nonzero for excluded/pruned points (only opacity is
-        # zeroed before rasterize), so visibility needs the include mask.
+        # The zero-opacity cull already zeroes radii for excluded/pruned
+        # rows; `& include` is kept as defense in depth (it also guards
+        # the uncompacted path against future cull changes).
         if static.scale_on:
             vis = (radii_full > 0) & include
             s = get_scaling(p)

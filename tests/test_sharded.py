@@ -108,8 +108,9 @@ import os
 os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=8"
 import jax
 jax.config.update("jax_platforms", "cpu")
-jax.distributed.initialize(coordinator_address="localhost:45217",
-                           num_processes=1, process_id=0)
+jax.distributed.initialize(
+    coordinator_address="localhost:%d" % (45000 + os.getpid() % 2000),
+    num_processes=1, process_id=0)
 import jax.numpy as jnp
 from jax import shard_map
 from jax.sharding import PartitionSpec as P

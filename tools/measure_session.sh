@@ -14,10 +14,14 @@ TO=${TO:-1800}
 run() {
     local label=$1; shift
     echo "=== $label: $*" >&2
-    local line
-    line=$(timeout "$TO" "$@" 2>/tmp/measure_last_stderr.log | tail -1)
-    local rc=$?
-    if [ $rc -ne 0 ] || [ -z "$line" ]; then
+    local out rc line
+    out=$(timeout "$TO" "$@" 2>/tmp/measure_last_stderr.log)
+    rc=$?
+    line=$(printf '%s\n' "$out" | tail -1)
+    # benchmarks print warnings to stdout too — only a trailing JSON
+    # object counts as a result, and the command's own rc is checked
+    # (124 = timeout)
+    if [ $rc -ne 0 ] || [ "${line:0:1}" != "{" ]; then
         echo "{\"label\": \"$label\", \"error\": $rc}" | tee -a "$OUT"
         tail -5 /tmp/measure_last_stderr.log >&2
     else

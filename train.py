@@ -46,13 +46,17 @@ def build_parser() -> argparse.ArgumentParser:
     parser.add_argument("--start_checkpoint", type=str, default=None)
     parser.add_argument("--quiet", action="store_true")
     parser.add_argument("--distributed", action="store_true",
-                        help="multi-host: call jax.distributed.initialize() "
-                             "(coordinator address / process count / process "
-                             "id from the standard JAX env vars) before any "
-                             "device enumeration, so the (data, shard) mesh "
-                             "spans every host's chips and XLA routes "
-                             "collectives over ICI within a slice and DCN "
-                             "across hosts (SURVEY §2.3)")
+                        help="call jax.distributed.initialize() (coordinator "
+                             "address / process count / process id from the "
+                             "standard JAX env vars) before any device "
+                             "enumeration. The compiled train step and its "
+                             "collectives are mesh-portable (see "
+                             "tests/test_multiprocess.py for a 2-process "
+                             "run of the step program), but this Trainer is "
+                             "single-controller: run it with num_processes=1 "
+                             "over the devices one process can address; the "
+                             "multi-process host loop (process-gated IO, "
+                             "global-array data feeding) is not wired yet")
     parser.add_argument("--tensorboard", action="store_true",
                         help="also write TensorBoard event files to "
                              "model_path (scalars every logged iter, "
@@ -94,20 +98,9 @@ def main(argv=None):
         # Must run before any backend/device enumeration; idempotent
         # guards are the caller's job (one initialize per process).
         jax.distributed.initialize()
-    try:
-        import jax
+    from gftorf_tpu.utils.runtime import enable_compilation_cache
 
-        # Persistent compilation cache: phase recompiles and watchdog
-        # restarts cost minutes each through the TPU tunnel; cached
-        # executables make them near-free. Unsupported backends just log
-        # a warning and skip caching.
-        jax.config.update(
-            "jax_compilation_cache_dir",
-            os.environ.get("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache"),
-        )
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
-    except Exception as e:
-        print(f"[warn] compilation cache unavailable: {e}", flush=True)
+    enable_compilation_cache()
     overrides = {k: v for k, v in vars(args).items()
                  if k not in ("config", "quiet", "start_checkpoint",
                               "platform", "profile_steps", "distributed")
