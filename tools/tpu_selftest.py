@@ -4,8 +4,13 @@ interpret-mode) and compare forward + gradients against the XLA
 prefix-op path on identical inputs.
 
 The pytest suite exercises Pallas only under interpret=True on CPU;
-Mosaic-specific behavior (OOB dynamic slices, lowering gaps) only shows
-up compiled. Run on the TPU host:
+Mosaic-specific behavior (OOB dynamic slices, lowering gaps, MXU
+precision defaults) only shows up compiled. Two cases:
+  - standard: L=512 tiles (the FWD_CHUNK=512 / BWD_CHUNK=256 path)
+  - deep: max_per_tile=4096 with large overlapping splats (the
+    shrunk-chunk VMEM path taken after tile-cap escalation)
+
+Run on the TPU host:
 
     python tools/tpu_selftest.py
 
@@ -26,19 +31,11 @@ import jax.numpy as jnp
 import numpy as np
 
 
-def main():
+def check(label: str, **scene_kwargs):
     from gftorf_tpu.data.synthetic import make_scene
     from gftorf_tpu.render.rasterize import rasterize
 
-    if jax.default_backend() != "tpu":
-        print(json.dumps({"ok": False, "reason":
-                          f"backend={jax.default_backend()} (need tpu)"}))
-        return 1
-
-    sc = make_scene(
-        jax.random.PRNGKey(0), num_points=4096, width=128, height=96,
-        max_per_tile=512, scale_range=(0.01, 0.05),
-    )
+    sc = make_scene(jax.random.PRNGKey(0), **scene_kwargs)
     n = sc.means3d.shape[0]
     bg = jax.random.uniform(jax.random.PRNGKey(1),
                             (7, sc.config.height, sc.config.width))
@@ -95,9 +92,22 @@ def main():
                                                            "scales", "opac",
                                                            "flow"))
     )
-    print(json.dumps({"ok": bool(ok), "backend": "tpu",
-                      **{k: round(v, 8) for k, v in errs.items()}}))
-    return 0 if ok else 1
+    return ok, {f"{label}_{k}": round(v, 8) for k, v in errs.items()}
+
+
+def main():
+    if jax.default_backend() != "tpu":
+        print(json.dumps({"ok": False, "reason":
+                          f"backend={jax.default_backend()} (need tpu)"}))
+        return 1
+
+    ok1, e1 = check("std", num_points=4096, width=128, height=96,
+                    max_per_tile=512, scale_range=(0.01, 0.05))
+    ok2, e2 = check("deep", num_points=4096, width=64, height=48,
+                    max_per_tile=4096, scale_range=(0.05, 0.3))
+    print(json.dumps({"ok": bool(ok1 and ok2), "backend": "tpu",
+                      **e1, **e2}))
+    return 0 if (ok1 and ok2) else 1
 
 
 if __name__ == "__main__":
