@@ -171,6 +171,14 @@ class TpuParams:
     # Hard ceiling for automatic max_per_tile growth on tile overflow.
     max_per_tile_limit: int = 16384
     dup_factor: int = 12
+    # Hard ceiling for automatic dup_factor growth on duplicate-list
+    # overflow (the reference sizes the list exactly every step,
+    # rasterizer_impl.cu:311; we grow-and-replay on overflow instead).
+    dup_factor_limit: int = 96
+    # Trust region on the deform MLP output, as a fraction of the scene
+    # extent (0 = off). Guards against the early-training divergence
+    # where d_xyz explodes and evacuates the frustum.
+    deform_clip: float = 0.5
     tile_chunk: int = 64
     capacity: int = 0  # 0 -> auto: next power-of-two >= 2*num_points
     capacity_growth: float = 1.5

@@ -119,7 +119,12 @@ def rasterize_sharded(
         height=rows * config.tile_h,
         width=config.width,
     )
-    # capacity per shard: full capacity / n_dev (tiles split evenly-ish)
+    # Capacity per shard: full capacity / n_dev. An uneven tile-row load
+    # (all Gaussians in one row band) can overflow a shard at 1/n of the
+    # single-device threshold — dup_overflow below is pmaxed across
+    # shards, so the Trainer's grow-and-replay reacts to the worst shard
+    # and doubles dup_factor until every shard fits (train/loop.py
+    # _grow_and_replay); there is no silent-truncation path.
     capacity = max(1024, config.capacity_for(P_total) // n_dev)
     binning = bin_gaussians(
         local_rect, jax.lax.stop_gradient(pre.depth_view), pre.valid,

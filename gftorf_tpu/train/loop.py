@@ -58,18 +58,23 @@ class Trainer:
     def __init__(self, cfg: Config, scene: Optional[Scene] = None,
                  startup_artifacts: bool = True):
         self.cfg = cfg
-        self.scene = scene or Scene(cfg)
+        # Seed BEFORE Scene construction: the random point-cloud init
+        # draws from global np.random, and the reference seeds first too
+        # (safe_state runs before Scene in train.py:634,43). Seeding
+        # after would make the initial model depend on ambient RNG state
+        # and break cross-run determinism (e.g. overflow-replay tests).
         m, opt = cfg.model, cfg.opt
+        random.seed(m.seed)
+        np.random.seed(m.seed)
+        self.key = jax.random.PRNGKey(m.seed)
+
+        self.scene = scene or Scene(cfg)
 
         self.opt = opt
         self.iteration = 0
         self.active_sh_degree = 0
         self.lambda_color = opt.lambda_color
         self.opacity_reset_interval = opt.opacity_reset_interval
-
-        random.seed(m.seed)
-        np.random.seed(m.seed)
-        self.key = jax.random.PRNGKey(m.seed)
 
         # Init-time sanity artifacts (cameras.json, scene_bounds.png —
         # scene/__init__.py:63-83, torf_utils.py:446-466). Skipped for
@@ -115,6 +120,14 @@ class Trainer:
         self.tile_cap_limit = max(self.tile_cap,
                                   getattr(cfg.tpu, "max_per_tile_limit", 16384))
         self._tile_limit_warned = False
+        # Duplicate-list capacity factor: grown (and the step replayed)
+        # on overflow, mirroring the tile-cap escalation — the reference
+        # sizes this buffer exactly every step (rasterizer_impl.cu:311)
+        # and is never lossy, so silent truncation is not acceptable.
+        self.dup_factor = cfg.tpu.dup_factor
+        self.dup_factor_limit = max(
+            self.dup_factor, getattr(cfg.tpu, "dup_factor_limit", 96))
+        self._dup_limit_warned = False
 
         # Device mesh: (data, shard) from TpuParams. data batches cameras
         # (DP, grads averaged), shard splits each render + the deform MLP
@@ -174,8 +187,10 @@ class Trainer:
     # ------------------------------------------------------------------
     def _raster_config(self, tof: bool):
         cfg = self.scene.raster_config(tof, self.cfg.model.sh_degree)
-        if cfg.max_per_tile != self.tile_cap:
-            cfg = dataclasses.replace(cfg, max_per_tile=self.tile_cap)
+        if (cfg.max_per_tile != self.tile_cap
+                or cfg.dup_factor != self.dup_factor):
+            cfg = dataclasses.replace(cfg, max_per_tile=self.tile_cap,
+                                      dup_factor=self.dup_factor)
         return cfg
 
     def _static_for(self, iteration: int) -> StepStatic:
@@ -236,6 +251,7 @@ class Trainer:
             mesh_shape=self.mesh_shape,
             deform_bucket=self.deform_bucket,
             render_bucket=self.render_bucket,
+            deform_clip=self.cfg.tpu.deform_clip,
         )
 
     def _pick_camera(self) -> int:
@@ -284,11 +300,8 @@ class Trainer:
                 f"bucket at dispatch: {rec['static'].render_bucket}) — "
                 f"bucket tracking bug"
             )
-        if metrics["tile_overflow"] > 0:
-            if self.tile_cap < self.tile_cap_limit:
-                metrics = self._grow_and_replay(rec)
-            else:
-                self._warn_tile_limit(rec["it"], metrics["tile_overflow"])
+        if self._overflowed(metrics):
+            metrics = self._grow_and_replay(rec, metrics)
 
         loss = metrics["loss"]
         self.ema_loss = 0.4 * loss + 0.6 * self.ema_loss
@@ -309,31 +322,52 @@ class Trainer:
         self.history.append(out)
         return out
 
-    def _grow_and_replay(self, rec: dict) -> dict:
-        """Tile-depth overflow: the compositor truncated the deepest
-        instances in some tile (the reference is exact at any depth,
-        forward.cu:424-676). Grow max_per_tile and deterministically
-        replay from the pre-step state — same (it, idx, key) sequence.
+    def _overflowed(self, metrics: dict) -> bool:
+        """True when a growable capacity was exceeded this step (the
+        reference sizes both buffers exactly every step and is never
+        lossy: rasterizer_impl.cu:311 / forward.cu:424-676)."""
+        return ((metrics["tile_overflow"] > 0
+                 and self.tile_cap < self.tile_cap_limit)
+                or (metrics["dup_overflow"] > 0
+                    and self.dup_factor < self.dup_factor_limit))
+
+    def _grow_and_replay(self, rec: dict, metrics: dict) -> dict:
+        """Capacity overflow (tile-depth truncation or duplicate-list
+        truncation): grow whichever capacity overflowed and
+        deterministically replay from the pre-step state — same
+        (it, idx, key) sequence, so the corrected run is bit-identical
+        to a run that started with the larger capacity.
         """
         replay = [rec] + self._pending
         self._pending = []
-        metrics = None
         while True:
-            self.tile_cap = min(self.tile_cap * 2, self.tile_cap_limit)
-            print(f"[iter {rec['it']}] tile overflow "
-                  f"(dropped {int(np.asarray(rec['packed'])[METRIC_NAMES.index('tile_overflow')])}"
-                  f" instances) -> max_per_tile={self.tile_cap}, replaying",
-                  flush=True)
+            grew = []
+            if (metrics["tile_overflow"] > 0
+                    and self.tile_cap < self.tile_cap_limit):
+                self.tile_cap = min(self.tile_cap * 2, self.tile_cap_limit)
+                grew.append(f"max_per_tile={self.tile_cap} (dropped "
+                            f"{int(metrics['tile_overflow'])} instances)")
+            if (metrics["dup_overflow"] > 0
+                    and self.dup_factor < self.dup_factor_limit):
+                self.dup_factor = min(self.dup_factor * 2,
+                                      self.dup_factor_limit)
+                grew.append(f"dup_factor={self.dup_factor}")
+            if not grew:
+                break
+            print(f"[iter {rec['it']}] capacity overflow -> "
+                  f"{', '.join(grew)}, replaying", flush=True)
             self.model, self.deform, self.deform_adam = rec["prev"]
             for r in replay:
                 static = dataclasses.replace(
                     r["static"],
                     config_color=dataclasses.replace(
                         r["static"].config_color,
-                        max_per_tile=self.tile_cap),
+                        max_per_tile=self.tile_cap,
+                        dup_factor=self.dup_factor),
                     config_tof=dataclasses.replace(
                         r["static"].config_tof,
-                        max_per_tile=self.tile_cap),
+                        max_per_tile=self.tile_cap,
+                        dup_factor=self.dup_factor),
                 )
                 self._dispatch(r["it"], r["idx"], static)
             rec = self._pending.pop(0)
@@ -341,11 +375,13 @@ class Trainer:
             self._pending = []
             vals = np.asarray(rec["packed"])
             metrics = dict(zip(METRIC_NAMES, [float(v) for v in vals]))
-            if metrics["tile_overflow"] <= 0 or self.tile_cap >= self.tile_cap_limit:
+            if not self._overflowed(metrics):
                 self._pending = replay[1:]
                 break
         if metrics["tile_overflow"] > 0:
             self._warn_tile_limit(rec["it"], metrics["tile_overflow"])
+        if metrics["dup_overflow"] > 0:
+            self._warn_dup_limit(rec["it"])
         return metrics
 
     def _warn_tile_limit(self, it: int, dropped: float) -> None:
@@ -360,6 +396,19 @@ class Trainer:
               f" dropped) at max_per_tile_limit={self.tile_cap_limit};"
               " renders are truncated until the scene thins out"
               " (raise --max_per_tile_limit to keep exactness)", flush=True)
+
+    def _warn_dup_limit(self, it: int) -> None:
+        """Loud one-time escalation when the duplicate-list ceiling is
+        hit: overflowing steps silently drop (gaussian, tile) instances
+        past capacity (per-record dup_overflow bool in train_log.jsonl
+        remains the evidence)."""
+        if self._dup_limit_warned:
+            return
+        self._dup_limit_warned = True
+        print(f"[iter {it}] WARNING: duplicate-list overflow at "
+              f"dup_factor_limit={self.dup_factor_limit}; renders drop "
+              "instances until the scene thins out (raise "
+              "--dup_factor_limit to keep exactness)", flush=True)
 
     def drain(self) -> list:
         """Resolve every pending step (call before host-side events that
@@ -470,6 +519,10 @@ class Trainer:
                 "active_sh_degree": self.active_sh_degree,
                 "lambda_color": self.lambda_color,
                 "opacity_reset_interval": self.opacity_reset_interval,
+                # Grown capacities survive resume (a restart would
+                # otherwise re-discover them via an overflow replay).
+                "tile_cap": self.tile_cap,
+                "dup_factor": self.dup_factor,
             },
         )
 
@@ -489,4 +542,6 @@ class Trainer:
         self.active_sh_degree = meta["active_sh_degree"]
         self.lambda_color = meta["lambda_color"]
         self.opacity_reset_interval = meta["opacity_reset_interval"]
+        self.tile_cap = int(meta.get("tile_cap", self.tile_cap))
+        self.dup_factor = int(meta.get("dup_factor", self.dup_factor))
         self._update_deform_bucket()

@@ -343,6 +343,15 @@ class StepStatic:
     # the live point count instead of the capacity (which carries up to
     # 2x headroom for densification between growth replays).
     render_bucket: int = 0
+    # Trust region on the deformation (0 = off): per-point ||d_xyz|| is
+    # clamped to deform_clip * scene_extent. No reference counterpart —
+    # a stability guard against the bistable failure mode where the MLP
+    # blows up early and evacuates every dynamic Gaussian from the
+    # frustum (no recovery gradient once nothing rasterizes). The clamp
+    # is inactive for a healthy run: converged |d_xyz| is a small
+    # fraction of the scene extent, so a generous radius (default 0.5)
+    # only engages during a divergence transient.
+    deform_clip: float = 0.0
 
 
 class StepAux(NamedTuple):
@@ -439,11 +448,23 @@ def _query_deform(static: StepStatic, deform_params, params, fid,
     xyz_n, expand = _deform_slots(static, params, alive)
     denom = max(static.total_num_views - 1, 1)
 
+    def clip_dxyz(d):
+        # Trust region (StepStatic.deform_clip): norm-clamp d_xyz. Each
+        # MLP sample is clamped independently; the ftorf lerp below is a
+        # convex combination (0.25*(frac_next+frac_curr) == 1), so the
+        # interpolated d_xyz stays inside the ball too.
+        if static.deform_clip <= 0.0:
+            return d
+        max_norm = static.deform_clip * static.scene_extent
+        n = jnp.linalg.norm(d, axis=-1, keepdims=True)
+        return d * jnp.minimum(1.0, max_norm / jnp.maximum(n, 1e-12))
+
     def q(t_scalar):
         t = jnp.broadcast_to(t_scalar, (xyz_n.shape[0], 1))
         d = _apply_deform_rows(
             deform_params, static.deform, xyz_n, t, shard_axis
         )
+        d = (clip_dxyz(d[0]),) + tuple(d[1:])
         return tuple(expand(x) for x in d)
 
     if static.scene_type == "torf":

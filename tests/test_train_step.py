@@ -314,6 +314,60 @@ def test_deform_bucket_compaction_matches_full():
         assert np.all(c[~mask] == 0.0), name
 
 
+def test_deform_clip_trust_region():
+    """StepStatic.deform_clip norm-clamps d_xyz to k*scene_extent: an
+    exploded MLP is bounded; a healthy MLP is untouched; the ftorf lerp
+    (a convex combination) stays inside the ball (stability guard — no
+    reference counterpart, see BENCHLOG bistability note)."""
+    from gftorf_tpu.train.step import _query_deform
+
+    deform_cfg = DeformConfig(depth=2, width=32, sh_degree=1)
+    dfp = init_deform(jax.random.PRNGKey(3), deform_cfg)
+    params = params_from_scene(make_scene(jax.random.PRNGKey(4), 16, 16, 16))
+
+    def mk(scene_type, clip):
+        return StepStatic(
+            scene_type=scene_type, config_color=None, config_tof=None,
+            deform=deform_cfg, active_sh_degree=1, total_num_views=9,
+            render_regions=("static", "dynamic"), dynamic_on=True,
+            sync_phase=False, use_quad=True, use_wl1c=False, use_wl1p=False,
+            wl1p_e=0.1, num_phasor_channels=2, color_on=True, depth_on=False,
+            dd_on=False, oe_on=False, scale_on=False, mlp_reg_on=False,
+            flow_on=False, optimize_phase_offset=False,
+            optimize_dc_offset=False, random_bg=False, scene_extent=5.0,
+            deform_clip=clip,
+        )
+
+    # healthy (near-zero-init) MLP: clip is a no-op
+    for st in ("torf", "ftorf"):
+        a = _query_deform(mk(st, 0.0), dfp, params, jnp.int32(2))
+        b = _query_deform(mk(st, 0.5), dfp, params, jnp.int32(2))
+        np.testing.assert_array_equal(np.asarray(a[0]), np.asarray(b[0]))
+
+    # exploded MLP: every returned d_xyz sample is inside the ball
+    blown = dfp._replace(
+        head_w={k: w * 1e9 for k, w in dfp.head_w.items()},
+        head_b={k: b + 100.0 for k, b in dfp.head_b.items()},
+    )
+    max_norm = 0.5 * 5.0
+    for st, fid in (("torf", 2), ("ftorf", 2), ("ftorf", 4)):
+        out = _query_deform(mk(st, 0.5), blown, params, jnp.int32(fid))
+        for d in (out[0], out[4], out[5]):  # d_xyz, d_curr, d_next
+            norms = np.linalg.norm(np.asarray(d), axis=-1)
+            assert norms.max() <= max_norm * (1 + 1e-5), (st, fid)
+        # unclipped really is outside the ball (the guard matters)
+        out0 = _query_deform(mk(st, 0.0), blown, params, jnp.int32(fid))
+        assert np.linalg.norm(np.asarray(out0[0]), axis=-1).max() > max_norm
+
+    # grad flows through the clamp (scaled projection, not a dead zone)
+    def loss(p):
+        d = _query_deform(mk("torf", 0.5), p, params, jnp.int32(2))[0]
+        return jnp.sum(d**2)
+
+    g = jax.grad(loss)(blown)
+    assert any(float(jnp.max(jnp.abs(l))) > 0 for l in jax.tree.leaves(g))
+
+
 def test_injit_schedule_matches_host_schedule():
     """The in-jit lr schedules (step._gaussian_lrs_at/_deform_lr_at) must
     agree with the host-side reference implementation (train/schedule.py,

@@ -57,6 +57,11 @@ def build_parser() -> argparse.ArgumentParser:
                              "over the devices one process can address; the "
                              "multi-process host loop (process-gated IO, "
                              "global-array data feeding) is not wired yet")
+    parser.add_argument("--debug_nans", action="store_true",
+                        help="enable jax_debug_nans: every jitted program "
+                             "re-runs op-by-op and raises at the first NaN "
+                             "producer (the reference's --detect_anomaly, "
+                             "train.py:615,636). Slow; debugging only")
     parser.add_argument("--tensorboard", action="store_true",
                         help="also write TensorBoard event files to "
                              "model_path (scalars every logged iter, "
@@ -98,12 +103,17 @@ def main(argv=None):
         # Must run before any backend/device enumeration; idempotent
         # guards are the caller's job (one initialize per process).
         jax.distributed.initialize()
+    if args.debug_nans:
+        import jax
+
+        jax.config.update("jax_debug_nans", True)
     from gftorf_tpu.utils.runtime import enable_compilation_cache
 
     enable_compilation_cache()
     overrides = {k: v for k, v in vars(args).items()
                  if k not in ("config", "quiet", "start_checkpoint",
-                              "platform", "profile_steps", "distributed")
+                              "platform", "profile_steps", "distributed",
+                              "debug_nans")
                  and v is not None}
     cfg = Config.from_json(args.config, overrides)
 
