@@ -107,6 +107,57 @@ def make_room_gaussians(key, num_dynamic=160, depth_range=15.0):
                 shs_p=shs_p, dyn_mask=dyn_mask, velocity=velocity)
 
 
+def make_slide_gaussians(key, depth_range=15.0):
+    """A sliding-occluder scene in the spirit of the reference's
+    sliding_cube F-ToRF captures: an opaque textured back wall and a
+    rigid, dense cube of Gaussians at mid depth translating linearly
+    across the view — the wall band behind it is occluded then
+    disoccluded, the depth edge sweeps the image, and the motion is
+    non-periodic (tests the deform MLP's time interpolation harder than
+    the oscillating ball)."""
+    ks = jax.random.split(key, 6)
+    xz, yz = 0.5 / 0.9, 0.375 / 0.9
+    wall_xyz, wall_s, wall_o, wall_dc, wall_amp = _surface_grid(
+        ks[0], 6.0, 1.08 * xz * 6.0, 1.08 * yz * 6.0, 0.16)
+
+    # dense cube: jittered 3D grid, half-edge 0.35, at z=3.2
+    half = 0.35
+    side = 7
+    lin = jnp.linspace(-half, half, side)
+    gx, gy, gz = jnp.meshgrid(lin, lin, lin)
+    cube = jnp.stack([gx.ravel(), gy.ravel(), gz.ravel()], -1)
+    nb = cube.shape[0]
+    cube = cube + 0.03 * jax.random.normal(ks[1], (nb, 3))
+    cube_xyz = jnp.array([-0.9, 0.05, 3.2]) + cube
+    cube_s = jnp.full((nb, 3), 0.09)
+    cube_o = jax.random.uniform(ks[2], (nb,), minval=0.9, maxval=0.98)
+    cube_dc = (jnp.array([0.4, 0.9, 1.2])
+               + 0.1 * jax.random.normal(ks[3], (nb, 3)))
+    cube_amp = 2.0 + 0.15 * jax.random.normal(ks[4], (nb,))
+
+    xyz = jnp.concatenate([wall_xyz, cube_xyz])
+    n = xyz.shape[0]
+    ns = n - nb
+    scales = jnp.concatenate([wall_s, cube_s])
+    opac = jnp.concatenate([wall_o, cube_o])
+    sh_dc = jnp.concatenate([wall_dc, cube_dc])
+    amp = jnp.concatenate([wall_amp, cube_amp])
+
+    quat = jnp.zeros((n, 4)).at[:, 0].set(1.0)
+    m = 16
+    shs = jnp.zeros((n, m, 3)).at[:, 0, :].set(sh_dc)
+    shs_p = jnp.zeros((n, m, 2)).at[:, 0, 1].set(amp)
+    dyn_mask = jnp.arange(n) >= ns
+    velocity = jnp.where(
+        dyn_mask[:, None],
+        jnp.array([[1.8, 0.0, 0.0]]) * jnp.ones((n, 3)),
+        jnp.zeros((n, 3)),
+    )
+    return dict(xyz=xyz, scales=scales, quat=quat, opac=opac, shs=shs,
+                shs_p=shs_p, dyn_mask=dyn_mask, velocity=velocity,
+                motion="linear")
+
+
 def make_gt_gaussians(key, num_static=384, num_dynamic=128, depth_range=15.0):
     ks = jax.random.split(key, 10)
     n = num_static + num_dynamic
@@ -139,10 +190,17 @@ def make_gt_gaussians(key, num_static=384, num_dynamic=128, depth_range=15.0):
                 shs_p=shs_p, dyn_mask=dyn_mask, velocity=velocity)
 
 
+def dynamic_disp(g, t: float):
+    """Displacement field of the dynamic cluster at normalized t:
+    sinusoidal oscillation (default) or linear translation ("slide")."""
+    if g.get("motion") == "linear":
+        return g["velocity"] * (t - 0.5)
+    return g["velocity"] * jnp.sin(2.0 * jnp.pi * t)
+
+
 def gaussians_at_time(g, t: float):
-    """Sinusoidal displacement of the dynamic cluster at normalized t."""
-    disp = g["velocity"] * jnp.sin(2.0 * jnp.pi * t)
-    return g["xyz"] + disp
+    """Position of every Gaussian at normalized t."""
+    return g["xyz"] + dynamic_disp(g, t)
 
 
 def write_dataset(
@@ -156,16 +214,23 @@ def write_dataset(
     seed: int = 0,
     torf_layout: bool = False,
     layout: str = "blobs",
+    static: bool = False,
 ):
     """Render and write a synthetic scene. num_frames should be a
     multiple of 4 for the quad cadence. layout: "blobs" (floating
-    Gaussians, cheap — tests) or "room" (full-coverage opaque surfaces —
-    realistic training dynamics, parity runs)."""
+    Gaussians, cheap — tests), "room" (full-coverage opaque surfaces —
+    realistic training dynamics, parity runs) or "slide" (sliding rigid
+    occluder, linear motion). static=True zeroes all motion (static
+    ToRF-style captures)."""
     key = jax.random.PRNGKey(seed)
     if layout == "room":
         g = make_room_gaussians(key, depth_range=depth_range)
+    elif layout == "slide":
+        g = make_slide_gaussians(key, depth_range=depth_range)
     else:
         g = make_gt_gaussians(key, depth_range=depth_range)
+    if static:
+        g["velocity"] = jnp.zeros_like(g["velocity"])
     n = g["xyz"].shape[0]
 
     fx = fy = 0.9 * width
@@ -246,13 +311,11 @@ def write_dataset(
                                 ("backward_flow_2", fid - 4)):
                 if not (0 <= other < num_frames):
                     continue
-                # Approximate scene flow: dynamic points move rigidly.
+                # Approximate scene flow: dynamic points move rigidly
+                # (all dynamic points share the displacement field).
                 t0 = fid / denom
                 t1 = other / denom
-                disp = np.asarray(
-                    g["velocity"][-1]
-                    * (np.sin(2 * np.pi * t1) - np.sin(2 * np.pi * t0))
-                )
+                disp = np.asarray(dynamic_disp(g, t1) - dynamic_disp(g, t0))[-1]
                 # Mask to pixels whose depth changes between the frames
                 moving = np.abs(depths[fid] - depths[other]) > 1e-3
                 flow3d = jnp.asarray(

@@ -1,5 +1,5 @@
 #!/bin/bash
-# 20k-iteration parity validation on the TPU with stall resilience.
+# 20k-iteration parity run on the TPU with stall resilience.
 #
 # The axon TPU tunnel occasionally wedges a dispatch forever (observed
 # 2026-08-17: run hung 35+ min at iter ~2750 with all threads blocked on
@@ -7,32 +7,64 @@
 # group, watches train_log.jsonl for forward progress, and on a stall
 # kills the exact process group and relaunches from the latest
 # checkpoint (checkpoints every 1000 iters; Trainer.load_checkpoint
-# restores model + both Adam states + densify meta, tests/test_e2e.py).
+# restores model + both Adam states + densify meta + grown capacities,
+# tests/test_e2e.py).
 #
-# Scene/hyperparams: reference ftorf configuration (configs/ftorf.json +
-# the run_optimize synthetic-scene row) on a 60-frame 320x240 synthetic
-# F-ToRF "room" scene. See BENCHLOG.md "20k parity run".
+# Parametric over the scene/run (see tools/parity_campaign.sh for the
+# 3-scene campaign of BENCHLOG's "20k parity" section):
+#   SCENE   dataset dir (generated if missing)
+#   MODEL   model output dir
+#   LAYOUT  room | slide | blobs     (data/generate.py)
+#   KIND    ftorf | torf             (dataset layout + config file)
+#   FRAMES  frame count (default 60 ftorf / 30 torf)
+#   SEED    dataset seed
+#   ITERS   iterations (default 20000)
+#   EXTRA   extra train.py args
 set -u
 cd /root/repo
 
-MODEL=/tmp/parity_model
-SCENE=/tmp/parity_scene
-LOG=/tmp/parity20k.log
+KIND=${KIND:-ftorf}
+LAYOUT=${LAYOUT:-room}
+SEED=${SEED:-11}
+ITERS=${ITERS:-20000}
+if [ "$KIND" = torf ]; then FRAMES=${FRAMES:-30}; else FRAMES=${FRAMES:-60}; fi
+MODEL=${MODEL:-/tmp/parity_model}
+SCENE=${SCENE:-/tmp/parity_scene}
+LOG=${LOG:-/tmp/parity20k.log}
 STALL_SECS=${STALL_SECS:-900}     # no log-file growth for this long = wedged
 MAX_RESTARTS=${MAX_RESTARTS:-12}
 
+SCENE="$SCENE" LAYOUT="$LAYOUT" KIND="$KIND" FRAMES="$FRAMES" SEED="$SEED" \
 python - <<'PY'
 import numpy as np, os
 import jax; jax.config.update('jax_platforms', 'cpu')
 from gftorf_tpu.data.generate import write_dataset
-if not os.path.isdir('/tmp/parity_scene/tofType0'):
-    np.random.seed(11)
-    write_dataset('/tmp/parity_scene', num_frames=60, width=320, height=240,
-                  seed=11, layout='room')
-print('scene ready')
+scene = os.environ['SCENE']
+kind = os.environ['KIND']
+probe = 'tof' if kind == 'torf' else 'tofType0'
+if not os.path.isdir(os.path.join(scene, probe)):
+    seed = int(os.environ['SEED'])
+    np.random.seed(seed)
+    write_dataset(scene, num_frames=int(os.environ['FRAMES']),
+                  width=320, height=240, seed=seed,
+                  layout=os.environ['LAYOUT'],
+                  torf_layout=(kind == 'torf'), static=(kind == 'torf'))
+print('scene ready:', scene)
 PY
 
-CKPTS=$(seq 1000 1000 20000)
+CKPTS=$(seq 1000 1000 "$ITERS")
+EVALS="1 $(seq 1000 1000 "$ITERS")"
+
+if [ "$KIND" = torf ]; then
+    CONFIG=configs/torf.json
+    # synthetic color images are tof-sized (320x240, no 640x480 source)
+    KIND_ARGS=(--color_image_width 320 --color_image_height 240
+               --color_scale_factor 1.0 --depth_range 15.0
+               --dataset_type synthetic)
+else
+    CONFIG=configs/ftorf.json
+    KIND_ARGS=(--lambda_flow 0.0008)
+fi
 
 launch() {
     local resume_args=()
@@ -45,22 +77,24 @@ launch() {
         resume_args=(--start_checkpoint "$latest")
         echo "[watchdog] resuming from $latest" | tee -a "$LOG"
     fi
-    setsid python train.py --config configs/ftorf.json \
+    # shellcheck disable=SC2086
+    setsid python train.py --config "$CONFIG" \
         --seed 42 \
         --source_path "$SCENE" \
         --model_path "$MODEL" \
-        --total_num_views 60 \
+        --total_num_views "$FRAMES" \
         --min_depth_fac 0.01 --max_depth_fac 0.45 \
-        --iterations 20000 --position_lr_max_steps 20000 \
+        --iterations "$ITERS" --position_lr_max_steps "$ITERS" \
         --densify_until_iter 12000 \
         --lambda_tof 1.0 --densify_grad_threshold 0.0002 \
-        --lambda_flow 0.0008 \
         --initial_amplitude 0.02 \
         --feature_amp_lr_init 0.000016 --feature_amp_lr_final 0.000016 \
-        --test_iterations 1 1000 2000 3000 4000 5000 6000 7000 8000 10000 12000 14000 16000 18000 20000 \
-        --save_iterations 10000 20000 \
+        "${KIND_ARGS[@]}" \
+        --test_iterations $EVALS \
+        --save_iterations "$ITERS" \
         --checkpoint_iterations $CKPTS \
         "${resume_args[@]}" \
+        ${EXTRA:-} \
         --quiet >> "$LOG" 2>&1 &
     TRAIN_PID=$!
 }
@@ -89,8 +123,8 @@ while :; do
         echo "[watchdog] PARITY20K_DONE" | tee -a "$LOG"
         exit 0
     fi
-    # also finished if the run reached 20000 before a stall-kill landed
-    if ls "$MODEL"/chkpnt20000.npz >/dev/null 2>&1; then
+    # also finished if the run reached the target before a stall-kill landed
+    if ls "$MODEL/chkpnt$ITERS.npz" >/dev/null 2>&1; then
         echo "[watchdog] PARITY20K_DONE (checkpoint present)" | tee -a "$LOG"
         exit 0
     fi
