@@ -58,6 +58,15 @@ def dump_debug_images(trainer, idx: int, iteration: int) -> None:
     phase_depth = np.asarray(depth_from_tof(
         np.moveaxis(phasor[:3], 0, -1), depth_range,
         float(frame.phase_offset)))
+    # Scattering-phase diagnostics (train.py:63-66,196-198): amplitude
+    # with the 1/d^2 falloff undone — amp * depth^2 — computed from the
+    # composited depth and from the ToF phase depth, vs GT.
+    g_phase_depth = np.asarray(depth_from_tof(
+        np.moveaxis(gt_phasor, 0, -1), depth_range,
+        float(frame.phase_offset)))
+    g_scat = g_amp * g_phase_depth**2
+    scat = amp * depth**2
+    scat_tof = amp * phase_depth**2
 
     imgs = {
         "real": (to8b(real_v), to8b(g_real_v),
@@ -72,6 +81,11 @@ def dump_debug_images(trainer, idx: int, iteration: int) -> None:
             np.asarray(out_tof.depth_distortion[0]))), None, None),
         "phase_depth": (depth_to_disp_viz(phase_depth, depth_range),
                         None, None),
+        "scattering_phase": (to8b(normalize_im(scat)),
+                             to8b(normalize_im(g_scat)),
+                             _err(scat, g_scat)),
+        "scattering_phase_tof_depth": (to8b(normalize_im(scat_tof)), None,
+                                       _err(scat_tof, g_scat)),
     }
     if trainer.cfg.opt.use_quad:
         k = int(frame.frame_id) % 4

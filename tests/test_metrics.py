@@ -45,6 +45,58 @@ def test_lpips_with_synthetic_weights(tmp_path):
     assert np.isfinite(d_diff) and d_diff > 0.0
 
 
+def test_lpips_matches_torch_oracle(tmp_path):
+    """The jnp LPIPS trunk must reproduce a transliterated torch LPIPS
+    (the reference's lpipsPyTorch: torchvision AlexNet features + unit
+    normalize + 1x1 non-negative linear heads + spatial mean,
+    lpipsPyTorch/modules/lpips.py) with the SAME random weights —
+    pretrained files aren't needed to verify the conv arithmetic
+    (padding, strides, maxpool geometry, normalization, heads)."""
+    import torch
+    import torch.nn.functional as F
+
+    w = _synthetic_weights(str(tmp_path / "w.npz"), key=7)
+    params = dict(np.load(w))
+    rng = np.random.RandomState(5)
+    img1 = rng.rand(3, 64, 80).astype(np.float32)
+    img2 = np.clip(
+        img1 + 0.15 * rng.randn(3, 64, 80).astype(np.float32), 0, 1)
+
+    def torch_lpips(a_np, b_np):
+        shift = torch.tensor([-0.030, -0.088, -0.188]).view(1, 3, 1, 1)
+        scale = torch.tensor([0.458, 0.448, 0.450]).view(1, 3, 1, 1)
+
+        def feats(x_np):
+            x = (torch.tensor(x_np)[None] * 2.0 - 1.0 - shift) / scale
+            outs = []
+            pads, strides = [2, 2, 1, 1, 1], [4, 1, 1, 1, 1]
+            pools = [True, True, False, False, False]
+            for i in range(5):
+                x = F.conv2d(
+                    x, torch.tensor(params[f"conv{i}_w"]),
+                    torch.tensor(params[f"conv{i}_b"]),
+                    stride=strides[i], padding=pads[i])
+                x = F.relu(x)
+                outs.append(x)
+                if pools[i]:
+                    x = F.max_pool2d(x, kernel_size=3, stride=2)
+            return outs
+
+        total = 0.0
+        for i, (fa, fb) in enumerate(zip(feats(a_np), feats(b_np))):
+            fa = fa / fa.norm(dim=1, keepdim=True).clamp_min(1e-10)
+            fb = fb / fb.norm(dim=1, keepdim=True).clamp_min(1e-10)
+            lin = torch.tensor(params[f"lin{i}_w"])
+            total = total + ((fa - fb) ** 2 * lin).sum(dim=1).mean()
+        return float(total)
+
+    ours = float(M.lpips(jnp.asarray(img1), jnp.asarray(img2),
+                         weights_path=w))
+    oracle = torch_lpips(img1, img2)
+    assert oracle > 1e-4  # non-degenerate comparison
+    np.testing.assert_allclose(ours, oracle, rtol=2e-4)
+
+
 def test_lpips_availability(tmp_path, monkeypatch):
     monkeypatch.delenv("GFTORF_LPIPS_WEIGHTS", raising=False)
     assert not M.lpips_available()
@@ -102,11 +154,15 @@ def test_debug_dumps_and_histograms(tmp_path):
     outs = tr.step() + tr.drain()
     assert "idx" in outs[0]
     dump_debug_images(tr, outs[0]["idx"], 1)
-    for ch in ("real", "amp", "color", "quad", "depth", "phase_depth"):
+    for ch in ("real", "amp", "color", "quad", "depth", "phase_depth",
+               "scattering_phase", "scattering_phase_tof_depth"):
         d = os.path.join(model_path, f"tmp_debug_{ch}")
         assert os.path.isdir(d) and os.listdir(d), f"missing {ch}"
     assert os.listdir(os.path.join(model_path, "tmp_debug_amp_gt"))
     assert os.listdir(os.path.join(model_path, "tmp_debug_amp_error"))
+    assert os.listdir(os.path.join(model_path, "tmp_debug_scattering_phase_gt"))
+    assert os.listdir(
+        os.path.join(model_path, "tmp_debug_scattering_phase_tof_depth_error"))
 
     h = param_histograms(tr.model)
     for name in ("opacity", "dist", "amplitude", "scale"):

@@ -72,6 +72,50 @@ def test_sync_phase_uses_sin_channel():
     assert float(g[0, 0, 0]) == 10.0 + perm[2]
 
 
+def test_exhaustive_permutations_vs_torch_oracle():
+    """All 24 permutations x {sync, async} x frame_id 0..7 against a
+    torch transliteration of the reference selection
+    (/root/reference/train.py:208-228):
+
+        sync:  gt = gt_quad[perm][2];      rendered = phasor[3:][2]
+        async: gt = gt_quad[fid % 4];      rendered = phasor[3:][inv][fid % 4]
+
+    with inv = argsort(perm) (dataset_readers.py:887). Random images so
+    any perm-vs-inv transposition or slot off-by-one is caught."""
+    import itertools
+
+    import torch
+
+    rng = np.random.RandomState(0)
+    phasor_np = rng.randn(7, 8, 8).astype(np.float32)
+    quads_np = rng.randn(4, 8, 8).astype(np.float32)
+    phasor = jnp.asarray(phasor_np)
+    frame_quads = jnp.asarray(quads_np)
+
+    phasor_t = torch.tensor(phasor_np)
+    quads_t = torch.tensor(quads_np)
+
+    for perm in itertools.permutations(range(4)):
+        inv = tuple(int(i) for i in np.argsort(perm))
+        for sync in (False, True):
+            st = make_static(sync_phase=sync, tof_permutation=perm,
+                             tof_inverse_permutation=inv)
+            for fid in range(8):
+                r, g = _select_tof(st, phasor, FakeFrame(fid, frame_quads))
+                if sync:
+                    gt_o = quads_t[list(perm)][2].unsqueeze(0)
+                    rd_o = phasor_t[3:][2].unsqueeze(0)
+                else:
+                    gt_o = quads_t[fid % 4].unsqueeze(0)
+                    rd_o = phasor_t[3:][list(inv)][fid % 4].unsqueeze(0)
+                np.testing.assert_array_equal(
+                    np.asarray(r), rd_o.numpy(),
+                    err_msg=f"rendered perm={perm} sync={sync} fid={fid}")
+                np.testing.assert_array_equal(
+                    np.asarray(g), gt_o.numpy(),
+                    err_msg=f"gt perm={perm} sync={sync} fid={fid}")
+
+
 def test_no_quad_uses_phasor_channels():
     phasor = jnp.arange(7 * 8 * 8, dtype=jnp.float32).reshape(7, 8, 8)
     st = make_static(use_quad=False, num_phasor_channels=2)
