@@ -437,6 +437,32 @@ def reset_opacity(
     return params._replace(opacity=new)
 
 
+def reset_opacity_state(
+    state: GaussianModelState, apply_mask: Optional[jnp.ndarray] = None
+) -> GaussianModelState:
+    """Opacity reset INCLUDING the Adam-state zeroing of the reference's
+    replace_tensor_to_optimizer (gaussian_model.py:369-376, 456-471:
+    exp_avg/exp_avg_sq of the whole opacity group become zeros).
+
+    Keeping stale moments is catastrophic, not cosmetic: a converged
+    scene has tiny mu AND tiny nu, so after the reset every point that
+    receives no gradient (not visible this frame) keeps drifting by
+    mu/sqrt(nu) ~ O(1) * lr per iteration in an arbitrary direction —
+    half of them fall below min_opacity before the next prune and the
+    scene collapses (observed: 96k -> 371 points at the first reset of
+    the 20k parity run). With zeroed moments a zero-grad point stays at
+    exactly 0.01 and survives."""
+    params = reset_opacity(state.params, apply_mask)
+
+    def zero_op(tree: GaussianParams) -> GaussianParams:
+        return tree._replace(opacity=jnp.zeros_like(tree.opacity))
+
+    adam = state.adam._replace(
+        mu=zero_op(state.adam.mu), nu=zero_op(state.adam.nu)
+    )
+    return state._replace(params=params, adam=adam)
+
+
 def add_densification_stats(
     aux: GaussianAux,
     mean2d_grad: jnp.ndarray,  # (C, 2) grad w.r.t. NDC means

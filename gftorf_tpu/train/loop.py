@@ -31,7 +31,7 @@ from gftorf_tpu.models.gaussians import (
     densify_and_prune,
     get_motion_mask,
     grow_capacity,
-    reset_opacity,
+    reset_opacity_state,
     prune_only,
 )
 from gftorf_tpu.train.step import (
@@ -50,8 +50,8 @@ def _densify_step(state, key, hyper: DensifyHyper, max_screen_size: float,
 
 
 @functools.partial(jax.jit, static_argnums=(2,))
-def _reset_opacity_step(params, mask, use_mask: bool):
-    return reset_opacity(params, mask if use_mask else None)
+def _reset_opacity_step(state, mask, use_mask: bool):
+    return reset_opacity_state(state, mask if use_mask else None)
 
 
 class Trainer:
@@ -502,8 +502,7 @@ class Trainer:
             mask, use = motion, True
         else:
             mask, use = motion, False
-        params = _reset_opacity_step(self.model.params, mask, use)
-        self.model = self.model._replace(params=params)
+        self.model = _reset_opacity_step(self.model, mask, use)
 
     # ------------------------------------------------------------------
     def save_checkpoint(self, path: str):

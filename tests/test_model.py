@@ -191,6 +191,33 @@ class TestOpacityOps:
         assert np.all(op[:4] <= 0.011)
         np.testing.assert_allclose(op[4:], 0.1, rtol=1e-5)
 
+    def test_reset_opacity_state_zeroes_adam(self):
+        """The reset must zero the opacity Adam moments like the
+        reference's replace_tensor_to_optimizer (gaussian_model.py:
+        369-376,456-471). Stale moments make zero-grad (invisible)
+        points drift off the 0.01 clamp and get mass-pruned at the next
+        densify (observed 96k -> 371 points in a 20k run)."""
+        from gftorf_tpu.models.gaussians import reset_opacity_state
+
+        st = make_state()
+        ones = jax.tree.map(jnp.ones_like, st.params)
+        st = st._replace(adam=st.adam._replace(mu=ones, nu=ones))
+        new = reset_opacity_state(st)
+        assert float(get_opacity(new.params).max()) <= 0.011
+        assert np.all(np.array(new.adam.mu.opacity) == 0.0)
+        assert np.all(np.array(new.adam.nu.opacity) == 0.0)
+        # other groups keep their moments (only opacity is replaced)
+        assert np.all(np.array(new.adam.mu.xyz) == 1.0)
+        # a zero-gradient point must now stay exactly at the clamp
+        from gftorf_tpu.models.gaussians import adam_update
+
+        zero_g = jax.tree.map(jnp.zeros_like, new.params)
+        lrs = jax.tree.map(lambda _: 0.05, new.params)
+        stepped, _ = adam_update(new.params, zero_g, new.adam, lrs)
+        np.testing.assert_array_equal(
+            np.asarray(stepped.opacity), np.asarray(new.params.opacity)
+        )
+
     def test_prune_only(self):
         st = make_state(n=8, capacity=8)
         op = st.params.opacity.at[:2].set(inverse_sigmoid(jnp.float32(0.001)))

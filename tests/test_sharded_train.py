@@ -8,6 +8,8 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow
+
 from gftorf_tpu.config import OptimizationParams
 from gftorf_tpu.data.synthetic import make_scene
 from gftorf_tpu.models.deform import DeformConfig, init_deform

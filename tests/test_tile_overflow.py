@@ -8,6 +8,7 @@ import dataclasses
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from gftorf_tpu.data.synthetic import make_scene
 from gftorf_tpu.render.rasterize import rasterize
@@ -43,6 +44,7 @@ def test_overflow_render_matches_uncapped():
     assert float(jnp.max(jnp.abs(out_small.color - out_big.color))) > 1e-4
 
 
+@pytest.mark.slow
 def test_trainer_grows_and_replays(tmp_path):
     """Trainer-level: a training step that overflows rolls back, grows
     max_per_tile, and replays the same (it, idx, key) — metrics resolve

@@ -6,6 +6,7 @@ import dataclasses
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from gftorf_tpu.config import OptimizationParams
 from gftorf_tpu.data.synthetic import make_scene
@@ -81,6 +82,7 @@ def params_from_scene(sc, jitter=0.0, key=None):
     )
 
 
+@pytest.mark.slow
 def test_train_step_converges():
     key = jax.random.PRNGKey(0)
     sc = make_scene(key, num_points=128, width=48, height=32)
@@ -164,6 +166,7 @@ def test_train_step_converges():
     assert float(jnp.sum(model.aux.denom)) > 0
 
 
+@pytest.mark.slow
 def test_frozen_gauss_keeps_params_but_trains_deform():
     """Post-densify_until_iter the gaussian optimizer must never step
     (reference train.py:469-470) while the deform MLP keeps training."""
@@ -407,9 +410,8 @@ def test_injit_schedule_matches_host_schedule():
         )
 
 
-import pytest
 
-
+@pytest.mark.slow
 @pytest.mark.parametrize("scene_type", ["torf", "ftorf"])
 def test_render_compaction_matches_uncompacted(scene_type):
     """render_bucket gathers alive rows into a smaller bucket before

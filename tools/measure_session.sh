@@ -31,6 +31,8 @@ run() {
 
 run selftest python tools/tpu_selftest.py
 run train_default python bench.py
+run train_dup4 python bench_train.py --set dup_factor=4
+run train_dup2 python bench_train.py --set dup_factor=2
 run train_no_compact python bench_train.py --set compact_render=false
 run train_no_flow python bench_train.py --set lambda_flow=0.0
 run train_static_only python bench_train.py --set dynamic=false --set lambda_flow=0.0 --set lambda_mlp_reg=0.0
