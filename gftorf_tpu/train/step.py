@@ -474,10 +474,23 @@ def _query_deform(static: StepStatic, deform_params, params, fid,
     # frames. The reference keeps ONLY d_xyz here — d_rot/d_sh/d_sh_p stay
     # 0.0 (train.py:171: `d_xyz_curr, _, _, _ = query_dmlp(...)`), so the
     # SH color-delta heads must not leak into the ftorf color path.
+    # The two time samples ride ONE stacked MLP call (2B rows): same
+    # math, twice the matmul row count per dispatch — the (B, 256)
+    # blocks are otherwise too short to fill the MXU, and the stacked
+    # form halves the per-layer dispatch count in both fwd and bwd.
     curr = (fid // 4) * 4
     nxt = curr + 4
-    d_curr, _, _, _ = q(curr.astype(jnp.float32) / denom)
-    d_next, _, _, _ = q(nxt.astype(jnp.float32) / denom)
+    b = xyz_n.shape[0]
+    t2 = jnp.concatenate([
+        jnp.broadcast_to(curr.astype(jnp.float32) / denom, (b, 1)),
+        jnp.broadcast_to(nxt.astype(jnp.float32) / denom, (b, 1)),
+    ])
+    d2, _, _, _ = _apply_deform_rows(
+        deform_params, static.deform,
+        jnp.concatenate([xyz_n, xyz_n]), t2, shard_axis,
+    )
+    d_curr = expand(clip_dxyz(d2[:b]))
+    d_next = expand(clip_dxyz(d2[b:]))
     if static.deform_sync:
         d_xyz = d_curr
     else:
