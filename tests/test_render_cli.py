@@ -129,3 +129,48 @@ def test_render_sets_spiral(trained_torf_model):
     assert a.shape[:2] == (32, 48)
     # distinct spiral viewpoints must render distinct images
     assert np.any(a != b)
+
+
+def test_write_video_prefers_mp4_with_backend(tmp_path, monkeypatch):
+    """_write_video must use the mp4 writer when an ffmpeg backend
+    exists (the reference writes x265 mp4s, render.py:226-315) and fall
+    back to GIF when it does not. No ffmpeg ships in this image, so the
+    mp4 side runs against a stub writer."""
+    import imageio.v2 as imageio
+
+    from gftorf_tpu import video_panel as vp
+
+    frames = [np.full((8, 8, 3), i * 40, np.uint8) for i in range(3)]
+
+    written = {}
+
+    class StubWriter:
+        def __init__(self):
+            written["frames"] = []
+
+        def append_data(self, f):
+            written["frames"].append(f)
+
+        def close(self):
+            written["closed"] = True
+            # materialize the file like a real writer would
+            open(written["path"], "wb").write(b"mp4")
+
+    def fake_get_writer(path, fps):
+        written["path"] = path
+        written["fps"] = fps
+        return StubWriter()
+
+    monkeypatch.setattr(imageio, "get_writer", fake_get_writer)
+    out = vp._write_video(str(tmp_path / "clip"), frames, fps=12.0)
+    assert out.endswith(".mp4") and os.path.exists(out)
+    assert written["fps"] == 12.0 and len(written["frames"]) == 3
+    assert written["closed"]
+
+    # backend missing -> GIF fallback
+    def raising_get_writer(path, fps):
+        raise RuntimeError("no ffmpeg backend")
+
+    monkeypatch.setattr(imageio, "get_writer", raising_get_writer)
+    out2 = vp._write_video(str(tmp_path / "clip2"), frames, fps=12.0)
+    assert out2.endswith(".gif") and os.path.exists(out2)
