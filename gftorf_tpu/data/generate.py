@@ -54,32 +54,42 @@ def _surface_grid(key, z, x_half, y_half, spacing, color_freq=1.7):
     return xyz, scales, opac, sh_dc, amp
 
 
-def make_room_gaussians(key, num_dynamic=160, depth_range=15.0):
+def make_room_gaussians(key, num_dynamic=2000, depth_range=15.0):
     """A realistic full-coverage scene: an opaque textured back wall
     filling the frustum, a half-width mid-depth wall (depth edge), and a
     rigidly-oscillating dynamic ball. Unlike the floating-blob layout,
     every pixel sees an opaque surface, which reproduces the recovery
     dynamics of real ToF captures around opacity resets (reference
     train.py:455-461): surviving surface points re-saturate instead of
-    the scene collapsing into a translucent soup."""
+    the scene collapsing into a translucent soup.
+
+    Granularity matters: the reference's synthetic captures are
+    mesh-rendered with per-pixel detail, and its densify loop prunes
+    anything with accumulated screen radius > 10 px once the first
+    opacity reset has passed (train.py:452-453, max_screen_size=10).
+    GT surfels here are sized so a faithful fit stays well under that
+    bar at 320x240 / fx=0.9W (radius = 3*sigma*fx/z <= ~8 px) — coarser
+    blobs make the reference's own hyperparameters mass-prune the
+    converged scene at iteration reset+100."""
     ks = jax.random.split(key, 8)
     # frustum half-extents per unit depth for fx = fy = 0.9*W, H = 0.75*W
     xz, yz = 0.5 / 0.9, 0.375 / 0.9
     wall_xyz, wall_s, wall_o, wall_dc, wall_amp = _surface_grid(
-        ks[0], 6.0, 1.08 * xz * 6.0, 1.08 * yz * 6.0, 0.16)
+        ks[0], 6.0, 1.08 * xz * 6.0, 1.08 * yz * 6.0, 0.065)
     half_xyz, half_s, half_o, half_dc, half_amp = _surface_grid(
-        ks[1], 3.6, 1.05 * xz * 3.6, 1.05 * yz * 3.6, 0.12, color_freq=2.6)
+        ks[1], 3.6, 1.05 * xz * 3.6, 1.05 * yz * 3.6, 0.04, color_freq=2.6)
     keep = half_xyz[:, 0] < -0.25  # left-side wall only: depth edge
     half_xyz, half_s, half_o, half_dc, half_amp = (
         a[keep] for a in (half_xyz, half_s, half_o, half_dc, half_amp))
 
-    # dynamic ball at mid depth on the right
+    # dynamic ball at mid depth on the right (z=2.8: scale <= ~0.025
+    # keeps the screen radius under ~8 px)
     nb = num_dynamic
     d = jax.random.normal(ks[2], (nb, 3))
     d = d / jnp.linalg.norm(d, axis=-1, keepdims=True)
     r = 0.45 * jax.random.uniform(ks[3], (nb,)) ** (1.0 / 3.0)
     ball_xyz = jnp.array([0.9, 0.1, 2.8]) + d * r[:, None]
-    ball_s = jax.random.uniform(ks[4], (nb, 3), minval=0.06, maxval=0.12)
+    ball_s = jax.random.uniform(ks[4], (nb, 3), minval=0.012, maxval=0.024)
     ball_o = jax.random.uniform(ks[5], (nb,), minval=0.85, maxval=0.98)
     ball_dc = (jnp.array([1.1, 0.6, 0.4])
                + 0.1 * jax.random.normal(ks[6], (nb, 3)))
@@ -118,18 +128,19 @@ def make_slide_gaussians(key, depth_range=15.0):
     ks = jax.random.split(key, 6)
     xz, yz = 0.5 / 0.9, 0.375 / 0.9
     wall_xyz, wall_s, wall_o, wall_dc, wall_amp = _surface_grid(
-        ks[0], 6.0, 1.08 * xz * 6.0, 1.08 * yz * 6.0, 0.16)
+        ks[0], 6.0, 1.08 * xz * 6.0, 1.08 * yz * 6.0, 0.065)
 
-    # dense cube: jittered 3D grid, half-edge 0.35, at z=3.2
+    # dense cube: jittered 3D grid, half-edge 0.35, at z=3.2 (fine
+    # surfels: screen radius must stay <= ~8 px, see make_room_gaussians)
     half = 0.35
-    side = 7
+    side = 13
     lin = jnp.linspace(-half, half, side)
     gx, gy, gz = jnp.meshgrid(lin, lin, lin)
     cube = jnp.stack([gx.ravel(), gy.ravel(), gz.ravel()], -1)
     nb = cube.shape[0]
-    cube = cube + 0.03 * jax.random.normal(ks[1], (nb, 3))
+    cube = cube + 0.012 * jax.random.normal(ks[1], (nb, 3))
     cube_xyz = jnp.array([-0.9, 0.05, 3.2]) + cube
-    cube_s = jnp.full((nb, 3), 0.09)
+    cube_s = jnp.full((nb, 3), 0.026)
     cube_o = jax.random.uniform(ks[2], (nb,), minval=0.9, maxval=0.98)
     cube_dc = (jnp.array([0.4, 0.9, 1.2])
                + 0.1 * jax.random.normal(ks[3], (nb, 3)))

@@ -299,12 +299,22 @@ def densify_and_prune(
     opac = get_opacity(params)[:, 0]
     prune = alive & (opac < hyper.min_opacity)
     use_size = max_screen_size > 0
+    # NOTE the reference's screen-size prune (big_points_vs,
+    # gaussian_model.py:634) is dead code by order of operations:
+    # densify_and_clone/split run densification_postfix FIRST, which
+    # zeroes max_radii2D for every point (:566), so the prune always
+    # reads zeros and `max_radii2D > max_screen_size` never fires. Only
+    # the world-size rules (live scaling) actually prune. Matching the
+    # written-but-inert check instead of the effective behavior is
+    # catastrophic: accumulated radii from the large random-init blobs
+    # exceed 10 px for nearly every point, and the first size-enabled
+    # prune (one densify after the first opacity reset) wiped 96k of a
+    # 97k-point converged scene in the 20k parity run.
     prune = prune | (
         use_size
         & alive
         & (
-            (aux.max_radii2d > max_screen_size)
-            | (max_scale > 0.05 * scene_extent)
+            (max_scale > 0.05 * scene_extent)
             | (max_scale < 0.001 * scene_extent)
         )
     )

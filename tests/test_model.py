@@ -112,6 +112,38 @@ class TestDensify:
         assert int(dropped) == 0
         assert int(new.aux.alive.sum()) == 12  # 8 + 4 clones
 
+    def test_screen_size_prune_is_inert_like_reference(self):
+        """The reference's big_points_vs prune (gaussian_model.py:634)
+        never fires: densification_postfix zeroes max_radii2D (:566)
+        before the prune reads it. A point with a huge ACCUMULATED
+        screen radius but healthy opacity/scale must survive a
+        size-enabled densify; the live world-size rules (0.05/0.001 x
+        extent) must still prune."""
+        st = make_state(n=8, capacity=32)
+        st = st._replace(
+            aux=st.aux._replace(
+                max_radii2d=jnp.full_like(st.aux.max_radii2d, 500.0),
+                denom=st.aux.denom.at[:8].set(1.0),
+            ),
+            # healthy scales everywhere except one oversized
+            # (big_points_ws) and one degenerate point
+            params=st.params._replace(
+                scaling=jnp.full_like(st.params.scaling, jnp.log(0.1))
+                .at[0].set(jnp.log(1.0))   # > 0.05 * 10
+                .at[1].set(jnp.log(1e-4))  # < 0.001 * 10
+            ),
+        )
+        new, dropped = densify_and_prune(
+            st, jax.random.PRNGKey(0), DensifyHyper(), scene_extent=10.0,
+            max_screen_size=10.0,
+        )
+        assert int(dropped) == 0
+        alive = np.array(new.aux.alive)
+        assert not alive[0] and not alive[1]  # world-size rules fire
+        assert alive[2:8].all()  # accumulated radii alone never prune
+        # and max_radii2d is zeroed for the next interval (postfix :566)
+        assert np.all(np.array(new.aux.max_radii2d) == 0.0)
+
     def test_split_large_high_grad(self):
         st = make_state(n=8, capacity=64)
         st = st._replace(
