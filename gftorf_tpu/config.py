@@ -192,6 +192,16 @@ class TpuParams:
     # Gather alive rows into a next-pow2 bucket before rasterization so
     # per-Gaussian preprocess cost tracks the live count, not capacity.
     compact_render: bool = True
+    # Adaptive buffer shrinking: every `shrink_window` resolved steps the
+    # Trainer compares the occupancy high-water marks (deepest tile,
+    # instances rendered) against the current max_per_tile / dup_factor
+    # and shrinks any capacity sitting >2x above its 1.35x-margined need
+    # (gather + kernel-lane volume scale with these). Overflow from an
+    # over-eager shrink is lossless — the grow-and-replay path restores
+    # exactness at the cost of one recompile. 0 disables.
+    shrink_window: int = 200
+    max_per_tile_floor: int = 256
+    dup_factor_floor: int = 2
     test_iterations: List[int] = field(default_factory=list)
     save_iterations: List[int] = field(default_factory=list)
     checkpoint_iterations: List[int] = field(default_factory=list)

@@ -208,5 +208,6 @@ def rasterize_sharded(
             binning.dup_overflow.astype(jnp.int32), axis_name
         ).astype(bool),
         tile_overflow=jax.lax.pmax(binning.tile_overflow, axis_name),
+        tile_max=jax.lax.pmax(binning.tile_max, axis_name),
         flow=None if flow_precomp is None else gather_img(out.flow),
     )

@@ -30,6 +30,9 @@ class Binning(NamedTuple):
     num_rendered: jnp.ndarray  # () int32
     dup_overflow: jnp.ndarray  # () bool
     tile_overflow: jnp.ndarray  # () int32 max dropped in one tile
+    tile_max: jnp.ndarray  # () int32 deepest tile (pre-clip): the
+    #   occupancy high-water mark the Trainer's adaptive capacity
+    #   tracking shrinks max_per_tile toward (train/loop.py)
 
 
 def bin_gaussians(
@@ -50,6 +53,23 @@ def bin_gaussians(
     P = rect.shape[0]
     T = config.num_tiles
     L = config.max_per_tile
+
+    # Pre-sort the gaussians by view depth: instances expanded in this
+    # order are automatically depth-ordered within every tile, so the
+    # capacity-length sort below needs only the tile key. This splits
+    # the reference's 64-bit [tile|depth] radix key
+    # (rasterizer_impl.cu:72-113) into a P-length depth sort (P ~ K/12)
+    # plus a 1-key K-length sort — one array and one comparator key
+    # fewer through the big sort, and no per-slot depth gather at all.
+    # Tie order is preserved exactly: equal depths keep gaussian-index
+    # order (stable), the same secondary order the slot layout gave.
+    depth_key = jnp.where(valid, depth_view, jnp.inf).astype(jnp.float32)
+    _, order = jax.lax.sort(
+        (depth_key, jnp.arange(P, dtype=jnp.int32)), num_keys=1,
+        is_stable=True,
+    )
+    rect = jnp.take(rect, order, axis=0)
+    valid = jnp.take(valid, order)
 
     nx = rect[:, 2] - rect[:, 0]
     counts = jnp.where(valid, nx * (rect[:, 3] - rect[:, 1]), 0).astype(jnp.int32)
@@ -90,12 +110,12 @@ def bin_gaussians(
     tile_y = y0 + within // nxg
     tile = tile_y * config.grid_w + tile_x
     tile = jnp.where(slot_valid, tile, T).astype(jnp.int32)  # sentinel last
-    depth = jnp.where(slot_valid, jnp.take(depth_view, g, axis=0), jnp.inf)
 
-    # Stable two-key sort: primary tile, secondary depth.
-    tile_s, _, g_s = jax.lax.sort(
-        (tile, depth.astype(jnp.float32), g), num_keys=2, is_stable=True
-    )
+    # Stable single-key sort by tile: depth order within each tile is
+    # inherited from the pre-sorted expansion order.
+    tile_s, g_s = jax.lax.sort((tile, g), num_keys=1, is_stable=True)
+    # g indexes the depth-sorted permutation; map back to gaussian ids.
+    g_s = jnp.take(order, g_s, axis=0)
 
     # Dense (T, L) layout: position within tile = index - tile_start.
     tile_start = jnp.searchsorted(tile_s, jnp.arange(T, dtype=jnp.int32),
@@ -127,4 +147,5 @@ def bin_gaussians(
         num_rendered=num_rendered,
         dup_overflow=dup_overflow,
         tile_overflow=tile_overflow,
+        tile_max=jnp.max(raw_count),
     )

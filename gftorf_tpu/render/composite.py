@@ -124,13 +124,19 @@ def _composite_tile(feats: TileFeatures, tile_origin, bg_tile, config: RasterCon
     phasor = jnp.matmul(w_p, feats.phasor, precision="highest")  # (PIX, 7)
 
     # Depth distortion on NDC-mapped distances (forward.cu:572-578).
-    z = feats.dist_ndc[None, :]
-    wz = w * z
-    wz2 = wz * z
-    a_ex = jnp.cumsum(w, axis=-1) - w
-    wz_ex = jnp.cumsum(wz, axis=-1) - wz
-    wz2_ex = jnp.cumsum(wz2, axis=-1) - wz2
-    dd = jnp.sum(w * (z * z * a_ex) - 2.0 * wz * wz_ex + w * wz2_ex, axis=-1)
+    # Statically gated like the Pallas kernel: zeros when the consumer's
+    # dd loss is off (RasterConfig.need_dd).
+    if config.need_dd:
+        z = feats.dist_ndc[None, :]
+        wz = w * z
+        wz2 = wz * z
+        a_ex = jnp.cumsum(w, axis=-1) - w
+        wz_ex = jnp.cumsum(wz, axis=-1) - wz
+        wz2_ex = jnp.cumsum(wz2, axis=-1) - wz2
+        dd = jnp.sum(w * (z * z * a_ex) - 2.0 * wz * wz_ex + w * wz2_ex,
+                     axis=-1)
+    else:
+        dd = jnp.zeros((pix,), jnp.float32)
 
     final_t = jnp.prod(jnp.where(contribute, q, 1.0), axis=-1)  # (PIX,)
 
@@ -141,24 +147,31 @@ def _composite_tile(feats: TileFeatures, tile_origin, bg_tile, config: RasterCon
 
     # First-sample distribution (forward.cu:561-567): stats only.
     contribute_sg = jax.lax.stop_gradient(contribute)
-    first = jnp.argmax(contribute_sg, axis=-1)  # (PIX,)
-    has = jnp.any(contribute_sg, axis=-1)
+    if config.need_distribution:
+        first = jnp.argmax(contribute_sg, axis=-1)  # (PIX,)
+        has = jnp.any(contribute_sg, axis=-1)
 
-    def take(arr):  # arr (PIX, L)
-        return jnp.where(
-            has, jnp.take_along_axis(arr, first[:, None], axis=-1)[:, 0], 0.0
-        )
+        def take(arr):  # arr (PIX, L)
+            return jnp.where(
+                has,
+                jnp.take_along_axis(arr, first[:, None], axis=-1)[:, 0],
+                0.0,
+            )
 
-    distribution = jax.lax.stop_gradient(
-        jnp.stack(
-            [
-                take(jnp.where(contribute_sg, alpha, 0.0)),
-                take(jnp.broadcast_to(feats.dist[None, :], contribute.shape)),
-                take(jnp.broadcast_to(feats.phasor[None, :, 2], contribute.shape)),
-            ],
-            axis=-1,
+        distribution = jax.lax.stop_gradient(
+            jnp.stack(
+                [
+                    take(jnp.where(contribute_sg, alpha, 0.0)),
+                    take(jnp.broadcast_to(
+                        feats.dist[None, :], contribute.shape)),
+                    take(jnp.broadcast_to(
+                        feats.phasor[None, :, 2], contribute.shape)),
+                ],
+                axis=-1,
+            )
         )
-    )
+    else:
+        distribution = jnp.zeros((pix, 3), jnp.float32)
 
     contrib_pixels = jnp.sum(contribute_sg.astype(jnp.float32), axis=0)  # (L,)
 

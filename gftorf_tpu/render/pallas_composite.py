@@ -32,10 +32,21 @@ Output block (T, PIX, 32):
   13 final_T, 14:17 first-sample (alpha, dist, amp),
   17 A_tot, 18 WZ_tot, 19 WZ2_tot (residuals for backward),
   20:26 flow (fwd 3 + bwd 3, no bg), 26:32 pad
+(cols 12/18/19 are zeros when config.need_dd is off, 14:17 when
+config.need_distribution is off — static channel gates set by the
+training step for channels its loss never reads.)
+
+Scan budget: prefix ops are the kernels' dominant VPU cost (a
+Hillis-Steele network is ~9 doubling steps at CL=512, each a full
+(PIX, CL) shift+op). The chunk recompute needs exactly ONE scan — the
+exclusive transmittance cumprod; the early-exit latch, the frozen
+final-T, and the first-contributing-sample selector are all derived
+from its monotonicity (see _chunk_common/_forward_kernel notes) instead
+of the three extra scans a naive port carries. The dd moments add three
+more cumsums but exist only under need_dd.
 
 Mosaic notes (this jax version): no cumsum/cumprod/reduce_prod lowering
-and no i1 vector loop carries — prefix ops use the Hillis-Steele
-`_scan_lanes` network and flags are f32 0/1.
+— prefix ops use the Hillis-Steele `_scan_lanes` network.
 """
 
 from __future__ import annotations
@@ -122,8 +133,22 @@ def _pixel_coords(origins_ref, t, config):
     return px, py, inside
 
 
-def _chunk_common(feat_ref, off, chunk, count, px, py, inside, t_run, done):
-    """Shared per-chunk recompute: alpha, masks, transmittance, weights."""
+def _chunk_common(feat_ref, off, chunk, count, px, py, inside, t_dec):
+    """Shared per-chunk recompute: alpha, masks, transmittance, weights.
+
+    One scan per chunk. The decaying transmittance chain
+    ``t_incl = t_dec * cumprod(q)`` (q = 1 for invalid lanes) is monotone
+    non-increasing along the depth axis, so the early-termination
+    predicate ``t_incl < T_STOP`` latches by itself — the first failing
+    instance and everything after it satisfy it. That is the same test
+    the sequential reference applies (forward.cu:539-543:
+    ``T*(1-alpha) < 1e-4 -> done``) expressed on the prefix product, and
+    it replaces the carried done flag + its cumsum latch + the separate
+    frozen-T product scan of the previous design (3 of the 4 per-chunk
+    Hillis-Steele networks). Monotonicity holds up to scan-tree rounding
+    (ulps); a flip needs t_incl within ulps of T_STOP and would admit one
+    instance of weight ~1e-4 — far below the kernel's tolerance budget.
+    """
     blk = jnp.transpose(feat_ref[0, pl.ds(off, chunk), :], (1, 0))  # (24, CL)
     mean_x, mean_y = blk[0], blk[1]
     con_a, con_b, con_c = blk[2], blk[3], blk[4]
@@ -144,19 +169,14 @@ def _chunk_common(feat_ref, off, chunk, count, px, py, inside, t_run, done):
     valid = (power <= 0.0) & (alpha >= ALPHA_EPS) & inside & present
     a_eff = jnp.where(valid, alpha, 0.0)
     q = 1.0 - a_eff
-    t_excl = t_run * _excl_cumprod(q)
-    fail = valid & (t_excl * q < T_STOP)
-    done_c = jnp.maximum(
-        done,
-        (_cumsum_lanes(fail.astype(jnp.float32)) > 0.0).astype(jnp.float32),
-    )
-    contribute = valid & (done_c < 0.5)
+    t_excl = t_dec * _excl_cumprod(q)
+    t_incl = t_excl * q
+    contribute = valid & (t_incl >= T_STOP)
     w = jnp.where(contribute, alpha * t_excl, 0.0)
     w_p = w * t_excl
-    qm = jnp.where(contribute, q, 1.0)
-    t_run_next = t_run * _scan_lanes(qm, jnp.multiply, 1.0)[..., -1:]
+    t_dec_next = t_incl[..., -1:]
     return (blk, f, z, ddx, ddy, con_a, con_b, con_c, exp_p, raw, alpha, q,
-            t_excl, contribute, w, w_p, done_c, t_run_next)
+            t_excl, t_incl, contribute, w, w_p, t_dec_next)
 
 
 def _forward_kernel(counts_ref, origins_ref, feat_ref, bg_ref,
@@ -168,16 +188,16 @@ def _forward_kernel(counts_ref, origins_ref, feat_ref, bg_ref,
     n_chunks = pl.cdiv(L, chunk)
     count = counts_ref[t]
     px, py, inside = _pixel_coords(origins_ref, t, config)
+    need_dd = config.need_dd
+    need_dist = config.need_distribution
 
     contrib_ref[0, 0, :] = jnp.zeros((L,), jnp.float32)
 
     def body(carry):
-        (c, t_run, done, accum, dd, a_run, wz_run, wz2_run,
-         first, has_first) = carry
-        off = c * chunk
-        (blk, f, z, ddx, ddy, _, _, _, _, _, alpha, q, t_excl,
-         contribute, w, w_p, done_c, t_run_next) = _chunk_common(
-            feat_ref, off, chunk, count, px, py, inside, t_run, done
+        off = carry["c"] * chunk
+        (blk, f, z, ddx, ddy, _, _, _, _, _, alpha, q, t_excl, t_incl,
+         contribute, w, w_p, t_dec_next) = _chunk_common(
+            feat_ref, off, chunk, count, px, py, inside, carry["t_dec"]
         )
 
         sums_w = jax.lax.dot_general(
@@ -190,82 +210,101 @@ def _forward_kernel(counts_ref, origins_ref, feat_ref, bg_ref,
             preferred_element_type=jnp.float32,
             precision=jax.lax.Precision.HIGHEST,
         )  # cols 4:11 (phasor) valid
-        acc_c = jnp.sum(w, axis=-1, keepdims=True)
-
-        # depth distortion with running exclusive moments
-        wz = w * z[None, :]
-        wz2 = wz * z[None, :]
-        a_ex = a_run + _cumsum_lanes(w) - w
-        wz_ex = wz_run + _cumsum_lanes(wz) - wz
-        wz2_ex = wz2_run + _cumsum_lanes(wz2) - wz2
-        zz = z[None, :] * z[None, :]
-        dd_c = jnp.sum(w * zz * a_ex - 2.0 * wz * wz_ex + w * wz2_ex,
-                       axis=-1, keepdims=True)
-
-        # first contributing sample per pixel (alpha, dist, phasor amp)
         c_f32 = contribute.astype(jnp.float32)
-        onehot = (_cumsum_lanes(c_f32) == 1.0) & contribute
-        oh = onehot.astype(jnp.float32)
-        cand = jnp.concatenate(
-            [
-                jnp.sum(oh * alpha, axis=-1, keepdims=True),
-                jnp.sum(oh * f[3][None, :], axis=-1, keepdims=True),
-                jnp.sum(oh * f[6][None, :], axis=-1, keepdims=True),
-            ],
-            axis=-1,
-        )
-        any_c = jnp.max(c_f32, axis=-1, keepdims=True)
-        first = jnp.where(has_first > 0.5, first,
-                          jnp.where(any_c > 0.5, cand, first))
-        has_first = jnp.maximum(has_first, any_c)
-
         contrib_ref[0, 0, pl.ds(off, chunk)] = jnp.sum(c_f32, axis=0)
 
         col = jax.lax.broadcasted_iota(jnp.int32, (1, 17), 1)
-        new_accum = accum + jnp.where(
+        new = dict(carry)
+        new["c"] = carry["c"] + 1
+        new["t_dec"] = t_dec_next
+        # Frozen final T (the reference's T sticks at the last assigned
+        # test_T, forward.cu:539-546): the min over contributing lanes of
+        # t_incl — no product scan needed (t_incl is monotone and every
+        # contributing value <= the carried frozen value).
+        new["t_frozen"] = jnp.min(
+            jnp.where(contribute, t_incl, carry["t_frozen"]),
+            axis=-1, keepdims=True,
+        )
+        new["accum"] = carry["accum"] + jnp.where(
             (col >= 4) & (col < 11), sums_wp, sums_w
         )
-        return (c + 1, t_run_next, done_c[:, -1:], new_accum, dd + dd_c,
-                a_run + acc_c,
-                wz_run + jnp.sum(wz, axis=-1, keepdims=True),
-                wz2_run + jnp.sum(wz2, axis=-1, keepdims=True),
-                first, has_first)
+        new["a_run"] = carry["a_run"] + jnp.sum(w, axis=-1, keepdims=True)
+
+        if need_dd:
+            # depth distortion with running exclusive moments
+            wz = w * z[None, :]
+            wz2 = wz * z[None, :]
+            a_ex = carry["a_run"] + _cumsum_lanes(w) - w
+            wz_ex = carry["wz_run"] + _cumsum_lanes(wz) - wz
+            wz2_ex = carry["wz2_run"] + _cumsum_lanes(wz2) - wz2
+            zz = z[None, :] * z[None, :]
+            dd_c = jnp.sum(w * zz * a_ex - 2.0 * wz * wz_ex + w * wz2_ex,
+                           axis=-1, keepdims=True)
+            new["dd"] = carry["dd"] + dd_c
+            new["wz_run"] = carry["wz_run"] + jnp.sum(wz, -1, keepdims=True)
+            new["wz2_run"] = carry["wz2_run"] + jnp.sum(wz2, -1, keepdims=True)
+
+        if need_dist:
+            # first contributing sample per pixel (alpha, dist, amp).
+            # Within a chunk the first contributing lane is the first
+            # valid lane (a valid non-contributing lane implies
+            # saturation, after which nothing contributes), so its
+            # exclusive product is exactly 1.0 and t_excl == t_dec holds
+            # bit-exactly — and strictly fails for every later
+            # contributing lane (q <= 1 - ALPHA_EPS there).
+            onehot = contribute & (t_excl == carry["t_dec"])
+            oh = onehot.astype(jnp.float32)
+            cand = jnp.concatenate(
+                [
+                    jnp.sum(oh * alpha, axis=-1, keepdims=True),
+                    jnp.sum(oh * f[3][None, :], axis=-1, keepdims=True),
+                    jnp.sum(oh * f[6][None, :], axis=-1, keepdims=True),
+                ],
+                axis=-1,
+            )
+            any_c = jnp.max(c_f32, axis=-1, keepdims=True)
+            new["first"] = jnp.where(
+                carry["has_first"] > 0.5, carry["first"],
+                jnp.where(any_c > 0.5, cand, carry["first"]),
+            )
+            new["has_first"] = jnp.maximum(carry["has_first"], any_c)
+        return new
 
     def cond(carry):
-        c, _, done = carry[0], carry[1], carry[2]
-        return (c * chunk < count) & (c < n_chunks) & (jnp.min(done) < 0.5)
+        c, t_dec = carry["c"], carry["t_dec"]
+        return ((c * chunk < count) & (c < n_chunks)
+                & (jnp.max(t_dec) >= T_STOP))
 
-    init = (
-        jnp.int32(0),
-        jnp.ones((pix, 1), jnp.float32),  # t_run
-        jnp.zeros((pix, 1), jnp.float32),  # done flag (f32: Mosaic carry)
-        jnp.zeros((pix, 17), jnp.float32),  # accum
-        jnp.zeros((pix, 1), jnp.float32),  # dd
-        jnp.zeros((pix, 1), jnp.float32),  # a_run
-        jnp.zeros((pix, 1), jnp.float32),  # wz_run
-        jnp.zeros((pix, 1), jnp.float32),  # wz2_run
-        jnp.zeros((pix, 3), jnp.float32),  # first
-        jnp.zeros((pix, 1), jnp.float32),  # has_first
-    )
-    (_, t_run, _, accum, dd, a_run, wz_run, wz2_run, first, _) = (
-        jax.lax.while_loop(cond, body, init)
-    )
+    zeros1 = jnp.zeros((pix, 1), jnp.float32)
+    init = {
+        "c": jnp.int32(0),
+        "t_dec": jnp.ones((pix, 1), jnp.float32),
+        "t_frozen": jnp.ones((pix, 1), jnp.float32),
+        "accum": jnp.zeros((pix, 17), jnp.float32),
+        "a_run": zeros1,
+    }
+    if need_dd:
+        init.update(dd=zeros1, wz_run=zeros1, wz2_run=zeros1)
+    if need_dist:
+        init.update(first=jnp.zeros((pix, 3), jnp.float32), has_first=zeros1)
+    fin = jax.lax.while_loop(cond, body, init)
 
+    accum, a_run, t_frozen = fin["accum"], fin["a_run"], fin["t_frozen"]
     bg = bg_ref[0]  # (PIX, 12)
-    color = accum[:, 0:3] + t_run * bg[:, 0:3]
-    phasor = accum[:, 4:11] + t_run * bg[:, 4:11]
+    color = accum[:, 0:3] + t_frozen * bg[:, 0:3]
+    phasor = accum[:, 4:11] + t_frozen * bg[:, 4:11]
     out_ref[0] = jnp.concatenate(
         [
             color,  # 0:3
             accum[:, 3:4],  # 3 depth
             phasor,  # 4:11
             a_run,  # 11 acc
-            dd,  # 12
-            t_run,  # 13 final_T
-            first,  # 14:17
+            fin["dd"] if need_dd else zeros1,  # 12
+            t_frozen,  # 13 final_T
+            fin["first"] if need_dist else jnp.zeros((pix, 3)),  # 14:17
             a_run,  # 17 A_tot
-            wz_run,  # 18
-            wz2_run,  # 19
+            fin["wz_run"] if need_dd else zeros1,  # 18
+            fin["wz2_run"] if need_dd else zeros1,  # 19
             accum[:, 11:17],  # 20:26 flow (reference render_flow bg = 0)
             jnp.zeros((pix, 6), jnp.float32),  # 26:32
         ],
@@ -275,7 +314,7 @@ def _forward_kernel(counts_ref, origins_ref, feat_ref, bg_ref,
 
 def _backward_kernel(counts_ref, origins_ref, feat_ref, bg_ref,
                      out_res_ref, g_ref, dfeat_ref, *,
-                     config: RasterConfig, chunk: int):
+                     config: RasterConfig, chunk: int, has_flow: bool):
     """Gradient w.r.t. the packed feature block.
 
     Single front-to-back pass: suffix sums needed by the alpha chain are
@@ -289,6 +328,10 @@ def _backward_kernel(counts_ref, origins_ref, feat_ref, bg_ref,
     n_chunks = pl.cdiv(L, chunk)
     count = counts_ref[t]
     px, py, inside = _pixel_coords(origins_ref, t, config)
+    # When the forward never produced a dd channel its cotangent is
+    # exactly zero: drop the whole distortion chain (one scan + the sym
+    # recurrence per chunk).
+    need_dd = config.need_dd
 
     out = out_res_ref[0]  # (PIX, 32) forward outputs/residuals
     g = g_ref[0]  # (PIX, 32) cotangents
@@ -296,10 +339,7 @@ def _backward_kernel(counts_ref, origins_ref, feat_ref, bg_ref,
 
     t_final = out[:, 13:14]
     a_tot = out[:, 17:18]
-    wz_tot = out[:, 18:19]
-    wz2_tot = out[:, 19:20]
     g_acc = g[:, 11:12]
-    g_dd = g[:, 12:13]
 
     accum_f = jnp.concatenate(
         [out[:, 0:3] - t_final * bg[:, 0:3], out[:, 3:4]], axis=-1
@@ -309,7 +349,11 @@ def _backward_kernel(counts_ref, origins_ref, feat_ref, bg_ref,
         jnp.sum(g[:, 0:4] * accum_f, axis=-1, keepdims=True) + g_acc * a_tot
     )
     ep_tot = jnp.sum(g[:, 4:11] * accum_p, axis=-1, keepdims=True)
-    u_dd_tot = g_dd * 2.0 * (a_tot * wz2_tot - wz_tot * wz_tot)
+    if need_dd:
+        wz_tot = out[:, 18:19]
+        wz2_tot = out[:, 19:20]
+        g_dd = g[:, 12:13]
+        u_dd_tot = g_dd * 2.0 * (a_tot * wz2_tot - wz_tot * wz_tot)
     bg_dot = (
         jnp.sum(bg[:, 0:3] * g[:, 0:3], axis=-1, keepdims=True)
         + jnp.sum(bg[:, 4:11] * g[:, 4:11], axis=-1, keepdims=True)
@@ -318,11 +362,10 @@ def _backward_kernel(counts_ref, origins_ref, feat_ref, bg_ref,
     dfeat_ref[0] = jnp.zeros_like(dfeat_ref[0])
 
     def body(carry):
-        c, t_run, done, u_f, u_p, u_dd = carry
-        off = c * chunk
+        off = carry["c"] * chunk
         (blk, f, z, ddx, ddy, con_a, con_b, con_c, exp_p, raw, alpha, q,
-         t_excl, contribute, w, w_p, done_c, t_run_next) = _chunk_common(
-            feat_ref, off, chunk, count, px, py, inside, t_run, done
+         t_excl, t_incl, contribute, w, w_p, t_dec_next) = _chunk_common(
+            feat_ref, off, chunk, count, px, py, inside, carry["t_dec"]
         )
         not_clamped = raw < ALPHA_MAX
 
@@ -336,19 +379,25 @@ def _backward_kernel(counts_ref, origins_ref, feat_ref, bg_ref,
             preferred_element_type=jnp.float32,
             precision=jax.lax.Precision.HIGHEST,
         )
-        sym = (z[None, :] * z[None, :] * a_tot - 2.0 * z[None, :] * wz_tot
-               + wz2_tot)
 
-        u_f_incl = u_f + _cumsum_lanes(w * e)
-        u_p_incl = u_p + _cumsum_lanes(w_p * e_p)
-        u_dd_incl = u_dd + _cumsum_lanes(g_dd * w * sym)
+        u_f_incl = carry["u_f"] + _cumsum_lanes(w * e)
+        u_p_incl = carry["u_p"] + _cumsum_lanes(w_p * e_p)
 
         d_alpha = (
             t_excl * e - (e_tot - u_f_incl) / q
             + t_excl * t_excl * e_p - 2.0 * (ep_tot - u_p_incl) / q
-            + g_dd * t_excl * sym - (u_dd_tot - u_dd_incl) / q
             - t_final / q * bg_dot
         )
+        if need_dd:
+            sym = (z[None, :] * z[None, :] * a_tot
+                   - 2.0 * z[None, :] * wz_tot + wz2_tot)
+            u_dd_incl = carry["u_dd"] + _cumsum_lanes(g_dd * w * sym)
+            d_alpha += g_dd * t_excl * sym - (u_dd_tot - u_dd_incl) / q
+            d_z = jnp.sum(
+                g_dd * 2.0 * w * (z[None, :] * a_tot - wz_tot), axis=0
+            )
+        else:
+            d_z = jnp.zeros((chunk,), jnp.float32)
         d_alpha = jnp.where(contribute, d_alpha, 0.0)
 
         d_power = jnp.where(not_clamped, d_alpha * alpha, 0.0)
@@ -362,7 +411,6 @@ def _backward_kernel(counts_ref, origins_ref, feat_ref, bg_ref,
         d_con_a = jnp.sum(-0.5 * ddx * ddx * d_power, axis=0)
         d_con_b = jnp.sum(-ddx * ddy * d_power, axis=0)
         d_con_c = jnp.sum(-0.5 * ddy * ddy * d_power, axis=0)
-        d_z = jnp.sum(g_dd * 2.0 * w * (z[None, :] * a_tot - wz_tot), axis=0)
 
         d_f = jax.lax.dot_general(
             g[:, 0:4], w, (((0,), (0,)), ((), ())),
@@ -377,11 +425,14 @@ def _backward_kernel(counts_ref, origins_ref, feat_ref, bg_ref,
         # Flow channels: grads reach the flow features only (weights are
         # detached — no d_alpha term — matching the reference's detached
         # render_flow geometry, gaussian_renderer/__init__.py:160-171).
-        d_flow = jax.lax.dot_general(
-            g[:, 20:26], w, (((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGHEST,
-        )  # (6, CL)
+        if has_flow:
+            d_flow = jax.lax.dot_general(
+                g[:, 20:26], w, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST,
+            )  # (6, CL)
+        else:
+            d_flow = jnp.zeros((6, chunk), jnp.float32)
 
         d_blk = jnp.concatenate(
             [
@@ -396,21 +447,29 @@ def _backward_kernel(counts_ref, origins_ref, feat_ref, bg_ref,
         )  # (24, CL)
         dfeat_ref[0, pl.ds(off, chunk), :] = jnp.transpose(d_blk, (1, 0))
 
-        return (c + 1, t_run_next, done_c[:, -1:],
-                u_f_incl[:, -1:], u_p_incl[:, -1:], u_dd_incl[:, -1:])
+        new = dict(carry)
+        new["c"] = carry["c"] + 1
+        new["t_dec"] = t_dec_next
+        new["u_f"] = u_f_incl[:, -1:]
+        new["u_p"] = u_p_incl[:, -1:]
+        if need_dd:
+            new["u_dd"] = u_dd_incl[:, -1:]
+        return new
 
     def cond(carry):
-        c, _, done = carry[0], carry[1], carry[2]
-        return (c * chunk < count) & (c < n_chunks) & (jnp.min(done) < 0.5)
+        c, t_dec = carry["c"], carry["t_dec"]
+        return ((c * chunk < count) & (c < n_chunks)
+                & (jnp.max(t_dec) >= T_STOP))
 
-    init = (
-        jnp.int32(0),
-        jnp.ones((pix, 1), jnp.float32),
-        jnp.zeros((pix, 1), jnp.float32),  # done flag (f32)
-        jnp.zeros((pix, 1), jnp.float32),
-        jnp.zeros((pix, 1), jnp.float32),
-        jnp.zeros((pix, 1), jnp.float32),
-    )
+    zeros1 = jnp.zeros((pix, 1), jnp.float32)
+    init = {
+        "c": jnp.int32(0),
+        "t_dec": jnp.ones((pix, 1), jnp.float32),
+        "u_f": zeros1,
+        "u_p": zeros1,
+    }
+    if need_dd:
+        init["u_dd"] = zeros1
     jax.lax.while_loop(cond, body, init)
 
 
@@ -451,11 +510,13 @@ def composite_forward_pallas(feat_tl, bg_tiles, counts, origins,
 
 def composite_backward_pallas(feat_tl, bg_tiles, out_res, g, counts,
                               origins, config: RasterConfig,
-                              interpret: bool = False):
+                              interpret: bool = False,
+                              has_flow: bool = True):
     T, L, _ = feat_tl.shape
     pix = config.tile_pixels
     chunk = _pick_chunk(L, _bwd_pref(L))
-    kernel = functools.partial(_backward_kernel, config=config, chunk=chunk)
+    kernel = functools.partial(_backward_kernel, config=config, chunk=chunk,
+                               has_flow=has_flow)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(T,),
@@ -534,7 +595,7 @@ def _default_origins(T, config: RasterConfig):
     ).astype(jnp.int32)
 
 
-def _make_pallas_vjp(config: RasterConfig, interpret: bool):
+def _make_pallas_vjp(config: RasterConfig, interpret: bool, has_flow: bool):
     """custom_vjp over (feat, bg, counts, origins): no closed-over tracers
     (closures over traced values break under lax.cond + grad); the int
     inputs get float0 cotangents."""
@@ -556,7 +617,8 @@ def _make_pallas_vjp(config: RasterConfig, interpret: bool):
         feat_tl, bg_tiles, counts, origins, out = res
         g = ct.out
         dfeat = composite_backward_pallas(
-            feat_tl, bg_tiles, out, g, counts, origins, config, interpret
+            feat_tl, bg_tiles, out, g, counts, origins, config, interpret,
+            has_flow,
         )
         t_final = out[..., 13:14]
         dbg = jnp.zeros_like(bg_tiles)
@@ -573,8 +635,9 @@ def _make_pallas_vjp(config: RasterConfig, interpret: bool):
 
 
 def _run_pallas_vjp(feat_tl, bg_tiles, counts, origins,
-                    config: RasterConfig, interpret: bool):
-    run = _make_pallas_vjp(config, interpret)
+                    config: RasterConfig, interpret: bool,
+                    has_flow: bool = True):
+    run = _make_pallas_vjp(config, interpret, has_flow)
     fwd = run(feat_tl, bg_tiles, counts, origins)
     # Stop gradients through the non-differentiable output columns
     # (final_T/first/residuals at 13:20 and the pad at 26:; the flow
@@ -591,11 +654,14 @@ def _run_pallas_vjp(feat_tl, bg_tiles, counts, origins,
 
 def composite_packed_pallas(packed_tl, gauss_id, bg_map,
                             config: RasterConfig, tile_origins=None,
-                            interpret: bool = False):
+                            interpret: bool = False, has_flow: bool = True):
     """Composite from a gathered (T, L, 24) packed feature block.
 
     The layout is front-packed per tile, so padding is handled purely by
     the per-tile count — no masking of the gathered garbage rows needed.
+    ``has_flow=False`` (static) drops the flow-gradient matmul from the
+    backward kernel (the fwd flow columns ride the main feature matmul
+    either way and cost nothing extra).
     """
     T, L, _ = packed_tl.shape
     counts = jnp.sum(gauss_id >= 0, axis=-1).astype(jnp.int32)
@@ -606,7 +672,7 @@ def composite_packed_pallas(packed_tl, gauss_id, bg_map,
     )
     bg_tiles = _bg_to_tiles(bg_map, T, config)
     return _run_pallas_vjp(packed_tl, bg_tiles, counts, origins, config,
-                           interpret)
+                           interpret, has_flow)
 
 
 def composite_tiles_pallas(feats, bg_map, config: RasterConfig,
@@ -633,7 +699,8 @@ def composite_tiles_pallas(feats, bg_map, config: RasterConfig,
         axis=-1,
     )
     return composite_packed_pallas(packed_tl, feats.gauss_id, bg_map, config,
-                                   tile_origins, interpret)
+                                   tile_origins, interpret,
+                                   has_flow=feats.flow is not None)
 
 
 def unpack_outputs(fwd: PallasForward, config: RasterConfig):

@@ -79,7 +79,8 @@ def rasterize(
         packed = pack_gaussian_features(pre, flow=flow_precomp)  # (P, 24)
         T, L = ids.shape
         packed_tl = jnp.take(packed, idc.reshape(-1), axis=0).reshape(T, L, 24)
-        out = composite_packed_pallas(packed_tl, ids, bg_map, config)
+        out = composite_packed_pallas(packed_tl, ids, bg_map, config,
+                                      has_flow=flow_precomp is not None)
     else:
         feats = TileFeatures(
             gauss_id=ids,
@@ -113,6 +114,7 @@ def rasterize(
         num_rendered=binning.num_rendered,
         dup_overflow=binning.dup_overflow,
         tile_overflow=binning.tile_overflow,
+        tile_max=binning.tile_max,
         flow=(None if flow_precomp is None
               else tiles_to_image(out.flow, config)),
     )

@@ -86,6 +86,13 @@ class RasterConfig:
     tile_chunk: int = 32
     # Use the Pallas compositing kernel when available.
     use_pallas: bool = True
+    # Static channel gates. The training step disables what its loss
+    # never reads so the compositing kernels skip the work (the
+    # depth-distortion moments alone are three extra prefix scans per
+    # depth chunk); eval/render paths keep the defaults. When off, the
+    # corresponding RenderOutputs channel is exact zeros.
+    need_dd: bool = True  # depth_distortion (train.py:266-267 window)
+    need_distribution: bool = True  # first-sample stats (forward.cu:561-567)
 
     def __post_init__(self):
         # The Pallas kernels chunk the depth axis in 128-lane multiples
@@ -131,6 +138,7 @@ class RenderOutputs(NamedTuple):
     num_rendered: jnp.ndarray  # () int32 total duplicated instances
     dup_overflow: jnp.ndarray  # () bool: duplicate capacity exceeded
     tile_overflow: jnp.ndarray  # () int32 max instances dropped in a tile
+    tile_max: jnp.ndarray  # () int32 deepest tile occupancy (pre-clip)
     # Fused scene-flow channels (6, H, W), present when flow_precomp was
     # given: alpha*T-composited with DETACHED weights — the reference's
     # render_flow output without its extra rasterization passes.

@@ -128,6 +128,17 @@ class Trainer:
         self.dup_factor_limit = max(
             self.dup_factor, getattr(cfg.tpu, "dup_factor_limit", 96))
         self._dup_limit_warned = False
+        # Adaptive shrinking (the other half of exact sizing: the
+        # reference allocates both buffers to the step's exact need,
+        # rasterizer_impl.cu:311 — growth-on-overflow bounds us from
+        # below, this tracking reclaims the headroom from above so
+        # gather volume and kernel depth-lanes follow the scene).
+        self.shrink_window = getattr(cfg.tpu, "shrink_window", 200)
+        self.tile_cap_floor = getattr(cfg.tpu, "max_per_tile_floor", 256)
+        self.dup_factor_floor = getattr(cfg.tpu, "dup_factor_floor", 2)
+        self._occ_steps = 0
+        self._occ_tile_max = 0
+        self._occ_rendered_max = 0
 
         # Device mesh: (data, shard) from TpuParams. data batches cameras
         # (DP, grads averaged), shard splits each render + the deform MLP
@@ -199,10 +210,19 @@ class Trainer:
         regions = self.render_regions
         if dynamic_on and self.scene.scene_type == "ftorf":
             regions = ("static", "dynamic")
+        # Channel gates: the step's loss never reads the first-sample
+        # distribution, and the depth-distortion channel only inside the
+        # dd window — drop the unused compositor work (settings.py flags;
+        # eval/render paths build their own default configs).
+        dd_on = (opt.lambda_dd != 0.0
+                 and opt.dd_loss_iter_end > opt.dd_loss_iter_start + 1)
+        gates = dict(need_dd=dd_on, need_distribution=False)
         return StepStatic(
             scene_type=self.scene.scene_type,
-            config_color=self._raster_config(False),
-            config_tof=self._raster_config(True),
+            config_color=dataclasses.replace(
+                self._raster_config(False), **gates),
+            config_tof=dataclasses.replace(
+                self._raster_config(True), **gates),
             deform=self.deform_cfg,
             active_sh_degree=self.active_sh_degree,
             total_num_views=m.total_num_views,
@@ -224,8 +244,7 @@ class Trainer:
             color_on=(opt.lambda_color != 0.0
                       or 0 < opt.tof_iters < opt.iterations),
             depth_on=opt.lambda_depth != 0.0,
-            dd_on=(opt.lambda_dd != 0.0
-                   and opt.dd_loss_iter_end > opt.dd_loss_iter_start + 1),
+            dd_on=dd_on,
             oe_on=opt.use_opacity_entropy_loss,
             scale_on=opt.use_scale_loss,
             mlp_reg_on=opt.lambda_mlp_reg != 0.0,
@@ -302,6 +321,7 @@ class Trainer:
             )
         if self._overflowed(metrics):
             metrics = self._grow_and_replay(rec, metrics)
+        self._note_occupancy(metrics)
 
         loss = metrics["loss"]
         self.ema_loss = 0.4 * loss + 0.6 * self.ema_loss
@@ -321,6 +341,51 @@ class Trainer:
         self._last_resolve_t = now
         self.history.append(out)
         return out
+
+    def _note_occupancy(self, metrics: dict) -> None:
+        """Track buffer occupancy high-water marks and shrink capacities
+        sitting far above need (see TpuParams.shrink_window). Shrinks
+        need no replay — nothing was lost — and an over-eager shrink is
+        self-correcting via the grow-and-replay overflow path."""
+        if self.shrink_window <= 0:
+            return
+        self._occ_steps += 1
+        self._occ_tile_max = max(self._occ_tile_max,
+                                 int(metrics["tile_max"]))
+        self._occ_rendered_max = max(self._occ_rendered_max,
+                                     int(metrics["rendered_max"]))
+        if self._occ_steps < self.shrink_window:
+            return
+        margin = 1.35
+        shrunk = []
+        tile_target = max(
+            self.tile_cap_floor,
+            -(-int(self._occ_tile_max * margin) // 128) * 128,
+        )
+        # Only shrink past a 2x gap: each capacity change recompiles the
+        # step, so the hysteresis must dominate the oscillation cost.
+        if tile_target <= self.tile_cap // 2:
+            shrunk.append(f"max_per_tile {self.tile_cap} -> {tile_target} "
+                          f"(deepest tile {self._occ_tile_max})")
+            self.tile_cap = tile_target
+        p_rows = self.render_bucket or int(self.model.aux.alive.shape[0])
+        dup_target = max(
+            self.dup_factor_floor,
+            -(-int(self._occ_rendered_max * margin) // p_rows),
+        )
+        if dup_target <= self.dup_factor // 2:
+            shrunk.append(
+                f"dup_factor {self.dup_factor} -> {dup_target} "
+                f"(max rendered {self._occ_rendered_max} of "
+                f"{self.dup_factor * p_rows})"
+            )
+            self.dup_factor = dup_target
+        if shrunk:
+            print(f"[iter {self.iteration}] occupancy tracking: "
+                  + "; ".join(shrunk), flush=True)
+        self._occ_steps = 0
+        self._occ_tile_max = 0
+        self._occ_rendered_max = 0
 
     def _overflowed(self, metrics: dict) -> bool:
         """True when a growable capacity was exceeded this step (the

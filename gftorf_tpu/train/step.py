@@ -87,6 +87,7 @@ class FrameData(NamedTuple):
 METRIC_NAMES = (
     "loss", "l1_color", "l1_p", "flow_l2", "num_rendered", "dup_overflow",
     "tile_overflow", "visible", "num_points", "compact_overflow",
+    "tile_max", "rendered_max",
 )
 
 
@@ -361,9 +362,12 @@ class StepAux(NamedTuple):
     metrics: dict  # name -> () f32
     radii: jnp.ndarray  # (P,) int32 tof-camera screen radii
     pixels: jnp.ndarray  # (P,) touched-pixel counts
-    num_rendered: jnp.ndarray  # () int32
-    dup_overflow: jnp.ndarray  # () bool
+    # Buffer diagnostics, combined over BOTH renders (tof and, when the
+    # cameras differ, color — either can overflow independently):
+    num_rendered: jnp.ndarray  # () int32 max over renders
+    dup_overflow: jnp.ndarray  # () int32 (0/1)
     tile_overflow: jnp.ndarray  # () int32
+    tile_max: jnp.ndarray  # () int32 deepest tile across renders
 
 
 def _sharded_render(axis_name: str):
@@ -896,9 +900,17 @@ def train_step(
             metrics=metrics,
             radii=radii_full,
             pixels=pixels_full,
-            num_rendered=out_tof.num_rendered,
-            dup_overflow=out_tof.dup_overflow,
-            tile_overflow=out_tof.tile_overflow,
+            num_rendered=jnp.maximum(
+                out_tof.num_rendered, out_color.num_rendered
+            ),
+            dup_overflow=jnp.maximum(
+                out_tof.dup_overflow.astype(jnp.int32),
+                out_color.dup_overflow.astype(jnp.int32),
+            ),
+            tile_overflow=jnp.maximum(
+                out_tof.tile_overflow, out_color.tile_overflow
+            ),
+            tile_max=jnp.maximum(out_tof.tile_max, out_color.tile_max),
         )
         return total, aux_out
 
@@ -1001,6 +1013,11 @@ def train_step(
     metrics["tile_overflow"] = jnp.max(sa.tile_overflow)
     metrics["visible"] = jnp.sum(radii > 0)
     metrics["num_points"] = jnp.sum(aux.alive)
+    # Occupancy high-water marks for the Trainer's adaptive capacity
+    # tracking (max over data slices — every slice renders with the same
+    # static buffers, so sizing must cover the worst one).
+    metrics["tile_max"] = jnp.max(sa.tile_max)
+    metrics["rendered_max"] = jnp.max(sa.num_rendered)
 
     new_model = GaussianModelState(new_params, new_aux, new_adam)
     # One packed f32 vector -> a single device->host transfer per step

@@ -183,6 +183,73 @@ def test_fused_flow_equals_separate_colors_pass():
         )
 
 
+def test_channel_gates_match_full_config():
+    """need_dd/need_distribution=False: the gated kernels must produce
+    identical live channels (and exact-zero gated ones), and identical
+    gradients for any loss that never reads the gated channels — the
+    contract the training step relies on (train/loop.py channel gates)."""
+    import dataclasses
+    import functools
+
+    sc, feats, bg = build_tile_data(seed=6, num_points=220)
+    full_cfg = sc.config
+    gated_cfg = dataclasses.replace(full_cfg, need_dd=False,
+                                    need_distribution=False)
+
+    for compositor in (
+        functools.partial(composite_tiles_pallas, interpret=True),
+        composite_tiles,
+    ):
+        ref = compositor(feats, bg, full_cfg)
+        out = compositor(feats, bg, gated_cfg)
+        np.testing.assert_allclose(out.color, ref.color, atol=1e-6, rtol=1e-6)
+        np.testing.assert_allclose(out.phasor, ref.phasor, atol=1e-6,
+                                   rtol=1e-6)
+        np.testing.assert_allclose(out.depth, ref.depth, atol=1e-6, rtol=1e-6)
+        np.testing.assert_allclose(out.acc, ref.acc, atol=1e-6, rtol=1e-6)
+        np.testing.assert_array_equal(np.asarray(out.dd), 0.0)
+        np.testing.assert_array_equal(np.asarray(out.distribution), 0.0)
+        np.testing.assert_array_equal(out.contrib_pixels, ref.contrib_pixels)
+
+        def loss(mean2d, conic, opacity, dist_ndc, cfg):
+            ft = feats._replace(mean2d=mean2d, conic=conic, opacity=opacity,
+                                dist_ndc=dist_ndc)
+            o = compositor(ft, bg, cfg)
+            return (jnp.sum(o.color) + 0.5 * jnp.sum(o.phasor)
+                    + 0.25 * jnp.sum(o.depth) + 0.125 * jnp.sum(o.acc))
+
+        args = (feats.mean2d, feats.conic, feats.opacity, feats.dist_ndc)
+        g_full = jax.grad(loss, argnums=(0, 1, 2, 3))(*args, full_cfg)
+        g_gated = jax.grad(loss, argnums=(0, 1, 2, 3))(*args, gated_cfg)
+        for a, b, n in zip(g_full, g_gated,
+                           ["mean2d", "conic", "opacity", "dist_ndc"]):
+            np.testing.assert_allclose(b, a, atol=1e-6, rtol=1e-5, err_msg=n)
+
+
+def test_no_flow_backward_gate():
+    """has_flow=False drops the flow-grad matmul; a color loss must give
+    the same geometry gradients as the flow-carrying program."""
+    import functools
+
+    sc, feats, bg = build_tile_data(seed=7, num_points=180)
+    T, L = feats.gauss_id.shape
+    flow = jax.random.normal(jax.random.PRNGKey(21), (T, L, 6))
+    pallas_c = functools.partial(composite_tiles_pallas, interpret=True)
+
+    def color_loss(mean2d, opacity, flw):
+        ft = feats._replace(mean2d=mean2d, opacity=opacity, flow=flw)
+        return jnp.sum(pallas_c(ft, bg, sc.config).color ** 2)
+
+    g_with = jax.grad(color_loss, argnums=(0, 1))(
+        feats.mean2d, feats.opacity, flow)
+    g_without = jax.grad(
+        lambda m, o: color_loss(m, o, None), argnums=(0, 1)
+    )(feats.mean2d, feats.opacity)
+    for a, b in zip(g_with, g_without):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   atol=1e-6, rtol=1e-6)
+
+
 def test_pallas_dense_overlap():
     sc, feats, bg = build_tile_data(seed=1, num_points=400,
                                     max_per_tile=1024)

@@ -1,0 +1,81 @@
+"""Adaptive capacity shrinking (Trainer._note_occupancy): the windowed
+high-water marks must shrink max_per_tile / dup_factor only past the 2x
+hysteresis gap, respect the floors, and reset their window. (Growth on
+overflow is covered by test_tile_overflow.py / test_dup_overflow.py.)
+"""
+
+import types
+
+import numpy as np
+
+from gftorf_tpu.train.loop import Trainer
+
+
+def make_trainer(tile_cap=2048, dup_factor=24, render_bucket=0,
+                 capacity=4096, window=4):
+    t = Trainer.__new__(Trainer)
+    t.shrink_window = window
+    t.tile_cap_floor = 256
+    t.dup_factor_floor = 2
+    t._occ_steps = 0
+    t._occ_tile_max = 0
+    t._occ_rendered_max = 0
+    t.tile_cap = tile_cap
+    t.dup_factor = dup_factor
+    t.render_bucket = render_bucket
+    t.iteration = 1
+    t.model = types.SimpleNamespace(
+        aux=types.SimpleNamespace(alive=np.zeros((capacity,), bool))
+    )
+    return t
+
+
+def feed(t, tile_max, rendered_max, n):
+    for _ in range(n):
+        t._note_occupancy(
+            {"tile_max": float(tile_max), "rendered_max": float(rendered_max)}
+        )
+
+
+def test_shrinks_past_2x_gap():
+    t = make_trainer(tile_cap=2048, dup_factor=24, capacity=4096)
+    feed(t, tile_max=300, rendered_max=8000, n=4)
+    # 300 * 1.35 = 405 -> 512-lane bucket; 8000*1.35/4096 -> factor 3
+    assert t.tile_cap == 512
+    assert t.dup_factor == 3
+    assert t._occ_steps == 0  # window reset
+
+
+def test_holds_within_2x():
+    t = make_trainer(tile_cap=1024, dup_factor=12, capacity=4096)
+    # 700*1.35 = 945 -> target 1024 > 1024//2: hold
+    feed(t, tile_max=700, rendered_max=20000, n=4)
+    assert t.tile_cap == 1024
+    assert t.dup_factor == 12
+
+
+def test_floors_respected():
+    t = make_trainer(tile_cap=1024, dup_factor=12, capacity=65536)
+    feed(t, tile_max=1, rendered_max=1, n=4)
+    assert t.tile_cap == 256
+    assert t.dup_factor == 2
+
+
+def test_window_takes_max_not_last():
+    t = make_trainer(tile_cap=2048, dup_factor=12, capacity=4096)
+    feed(t, tile_max=1900, rendered_max=100, n=1)  # one deep step
+    feed(t, tile_max=10, rendered_max=100, n=3)
+    assert t.tile_cap == 2048  # the deep step pins the window
+
+
+def test_uses_render_bucket_rows():
+    t = make_trainer(dup_factor=24, render_bucket=1024, capacity=65536)
+    feed(t, tile_max=2000, rendered_max=4000, n=4)
+    # 4000*1.35/1024 -> factor 6 (bucket rows, not capacity rows)
+    assert t.dup_factor == 6
+
+
+def test_disabled_window():
+    t = make_trainer(window=0)
+    feed(t, tile_max=1, rendered_max=1, n=10)
+    assert t.tile_cap == 2048 and t.dup_factor == 24
