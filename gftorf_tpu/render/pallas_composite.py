@@ -62,10 +62,16 @@ from jax.experimental.pallas import tpu as pltpu
 from gftorf_tpu.render.composite import ALPHA_EPS, ALPHA_MAX, T_STOP
 from gftorf_tpu.render.settings import RasterConfig
 
-FWD_CHUNK = 512  # depth-axis chunk size (multiple of 128)
+import os as _os
+
+# Depth-axis chunk sizes (multiples of 128). Smaller chunks track
+# shallow tiles at finer granularity (the while_loop bounds work by
+# ceil(count/CL) chunks) at the cost of more loop iterations on deep
+# ones; env overrides exist for on-hardware sweeps (bench_train.py).
+FWD_CHUNK = int(_os.environ.get("GFTORF_FWD_CHUNK", 512))
 # Backward keeps ~2x the live (PIX, CL) temporaries; 512 overflows the
 # 16MB scoped-VMEM stack limit on v5e.
-BWD_CHUNK = 256
+BWD_CHUNK = int(_os.environ.get("GFTORF_BWD_CHUNK", 256))
 
 
 def _fwd_pref(L: int) -> int:

@@ -896,21 +896,34 @@ def train_step(
 
         metrics["loss"] = total
         metrics["compact_overflow"] = compact_overflow
+        # Combine buffer diagnostics over both renders — but only when
+        # the color render is live in the loss graph. When color_on and
+        # depth_on are both off its image is unused and XLA DCEs the
+        # whole second rasterization; consuming its diagnostics here
+        # would silently resurrect it.
+        color_live = (not static.single_camera
+                      and (static.color_on or static.depth_on))
+        if color_live:
+            num_rend = jnp.maximum(out_tof.num_rendered,
+                                   out_color.num_rendered)
+            dup_ovf = jnp.maximum(out_tof.dup_overflow.astype(jnp.int32),
+                                  out_color.dup_overflow.astype(jnp.int32))
+            tile_ovf = jnp.maximum(out_tof.tile_overflow,
+                                   out_color.tile_overflow)
+            tile_max = jnp.maximum(out_tof.tile_max, out_color.tile_max)
+        else:
+            num_rend = out_tof.num_rendered
+            dup_ovf = out_tof.dup_overflow.astype(jnp.int32)
+            tile_ovf = out_tof.tile_overflow
+            tile_max = out_tof.tile_max
         aux_out = StepAux(
             metrics=metrics,
             radii=radii_full,
             pixels=pixels_full,
-            num_rendered=jnp.maximum(
-                out_tof.num_rendered, out_color.num_rendered
-            ),
-            dup_overflow=jnp.maximum(
-                out_tof.dup_overflow.astype(jnp.int32),
-                out_color.dup_overflow.astype(jnp.int32),
-            ),
-            tile_overflow=jnp.maximum(
-                out_tof.tile_overflow, out_color.tile_overflow
-            ),
-            tile_max=jnp.maximum(out_tof.tile_max, out_color.tile_max),
+            num_rendered=num_rend,
+            dup_overflow=dup_ovf,
+            tile_overflow=tile_ovf,
+            tile_max=tile_max,
         )
         return total, aux_out
 
