@@ -356,28 +356,21 @@ class Trainer:
                                      int(metrics["rendered_max"]))
         if self._occ_steps < self.shrink_window:
             return
-        margin = 1.35
         shrunk = []
-        tile_target = max(
-            self.tile_cap_floor,
-            -(-int(self._occ_tile_max * margin) // 128) * 128,
-        )
-        # Only shrink past a 2x gap: each capacity change recompiles the
-        # step, so the hysteresis must dominate the oscillation cost.
-        if tile_target <= self.tile_cap // 2:
+        tile_target = self._tile_cap_need(self._occ_tile_max)
+        # Hysteresis: shrink only past a 1.5x gap (each capacity change
+        # recompiles the step). Growth lands exactly at need * margin,
+        # so the [need, 1.5*need] band absorbs occupancy fluctuation
+        # without oscillating.
+        if tile_target * 3 <= self.tile_cap * 2:
             shrunk.append(f"max_per_tile {self.tile_cap} -> {tile_target} "
                           f"(deepest tile {self._occ_tile_max})")
             self.tile_cap = tile_target
-        p_rows = self.render_bucket or int(self.model.aux.alive.shape[0])
-        dup_target = max(
-            self.dup_factor_floor,
-            -(-int(self._occ_rendered_max * margin) // p_rows),
-        )
-        if dup_target <= self.dup_factor // 2:
+        dup_target = self._dup_factor_need(self._occ_rendered_max)
+        if dup_target * 3 <= self.dup_factor * 2:
             shrunk.append(
                 f"dup_factor {self.dup_factor} -> {dup_target} "
-                f"(max rendered {self._occ_rendered_max} of "
-                f"{self.dup_factor * p_rows})"
+                f"(max rendered {self._occ_rendered_max})"
             )
             self.dup_factor = dup_target
         if shrunk:
@@ -386,6 +379,20 @@ class Trainer:
         self._occ_steps = 0
         self._occ_tile_max = 0
         self._occ_rendered_max = 0
+
+    _CAP_MARGIN = 1.35
+
+    def _tile_cap_need(self, tile_max: int) -> int:
+        """128-aligned max_per_tile for an observed deepest tile."""
+        return max(self.tile_cap_floor,
+                   -(-int(tile_max * self._CAP_MARGIN) // 128) * 128)
+
+    def _dup_factor_need(self, rendered_max: int) -> int:
+        """dup_factor for an observed instance total (num_rendered is
+        computed pre-clip, so it is the true need even on overflow)."""
+        p_rows = self.render_bucket or int(self.model.aux.alive.shape[0])
+        return max(self.dup_factor_floor,
+                   -(-int(rendered_max * self._CAP_MARGIN) // p_rows))
 
     def _overflowed(self, metrics: dict) -> bool:
         """True when a growable capacity was exceeded this step (the
@@ -409,13 +416,27 @@ class Trainer:
             grew = []
             if (metrics["tile_overflow"] > 0
                     and self.tile_cap < self.tile_cap_limit):
-                self.tile_cap = min(self.tile_cap * 2, self.tile_cap_limit)
+                # Size to the measured need (the reference allocates
+                # exactly, rasterizer_impl.cu:311) instead of doubling:
+                # a doubling overshoot sits inside the shrink hysteresis
+                # band and is never reclaimed. tile_max is the pre-clip
+                # deepest tile, valid unless the duplicate list itself
+                # clipped — in that case the next replay iteration
+                # remeasures with the grown duplicate capacity.
+                self.tile_cap = min(
+                    max(self._tile_cap_need(int(metrics["tile_max"])),
+                        self.tile_cap + 128),
+                    self.tile_cap_limit,
+                )
                 grew.append(f"max_per_tile={self.tile_cap} (dropped "
                             f"{int(metrics['tile_overflow'])} instances)")
             if (metrics["dup_overflow"] > 0
                     and self.dup_factor < self.dup_factor_limit):
-                self.dup_factor = min(self.dup_factor * 2,
-                                      self.dup_factor_limit)
+                self.dup_factor = min(
+                    max(self._dup_factor_need(int(metrics["rendered_max"])),
+                        self.dup_factor + 1),
+                    self.dup_factor_limit,
+                )
                 grew.append(f"dup_factor={self.dup_factor}")
             if not grew:
                 break

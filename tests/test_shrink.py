@@ -37,7 +37,7 @@ def feed(t, tile_max, rendered_max, n):
         )
 
 
-def test_shrinks_past_2x_gap():
+def test_shrinks_past_gap():
     t = make_trainer(tile_cap=2048, dup_factor=24, capacity=4096)
     feed(t, tile_max=300, rendered_max=8000, n=4)
     # 300 * 1.35 = 405 -> 512-lane bucket; 8000*1.35/4096 -> factor 3
@@ -46,12 +46,21 @@ def test_shrinks_past_2x_gap():
     assert t._occ_steps == 0  # window reset
 
 
-def test_holds_within_2x():
+def test_holds_within_gap():
     t = make_trainer(tile_cap=1024, dup_factor=12, capacity=4096)
-    # 700*1.35 = 945 -> target 1024 > 1024//2: hold
-    feed(t, tile_max=700, rendered_max=20000, n=4)
+    # 700*1.35 = 945 -> target 1024; 1024*1.5 > 1024: hold.
+    # 26000*1.35/4096 -> factor 9; 9*1.5 > 12: hold.
+    feed(t, tile_max=700, rendered_max=26000, n=4)
     assert t.tile_cap == 1024
     assert t.dup_factor == 12
+
+
+def test_growth_sizes_to_need():
+    # Exact-need growth (not doubling): the overflow metrics carry the
+    # true pre-clip occupancy.
+    t = make_trainer(tile_cap=1024, dup_factor=4, capacity=4096)
+    assert t._tile_cap_need(1243) == 1792  # 1243*1.35 -> 1679 -> 1792
+    assert t._dup_factor_need(324046 // 8) == 14  # ceil(1.35*40505/4096)
 
 
 def test_floors_respected():
