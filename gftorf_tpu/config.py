@@ -202,6 +202,10 @@ class TpuParams:
     shrink_window: int = 200
     max_per_tile_floor: int = 256
     dup_factor_floor: int = 2
+    # MXU precision for the deform-MLP matmuls: "highest" (f32-equiv,
+    # 6 bf16 passes — the reference's fp32 torch MLP), "high" (3),
+    # "default" (1). Lower tiers are a measured speed/accuracy knob.
+    deform_precision: str = "highest"
     test_iterations: List[int] = field(default_factory=list)
     save_iterations: List[int] = field(default_factory=list)
     checkpoint_iterations: List[int] = field(default_factory=list)

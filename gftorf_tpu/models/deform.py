@@ -30,6 +30,10 @@ class DeformConfig(NamedTuple):
     sh_degree: int = 3
     isotropic: bool = False
     xavier_init_dxyz: bool = False
+    # MXU precision of the MLP matmuls. "highest" = 6-pass bf16 (f32
+    # equivalent, matches the reference's fp32 torch MLP); "high" /
+    # "default" trade passes for speed (TpuParams.deform_precision).
+    precision: str = "highest"
 
     @property
     def skip(self):
@@ -123,7 +127,7 @@ def apply_deform(params: DeformParams, config: DeformConfig,
     h = inp
     for i in range(config.depth):
         h = jax.nn.relu(
-            jnp.matmul(h, params.hidden_w[i], precision="highest")
+            jnp.matmul(h, params.hidden_w[i], precision=config.precision)
             + params.hidden_b[i]
         )
         # the concat feeds layer skip+1 (init sizes it width+in_dim);
@@ -134,7 +138,7 @@ def apply_deform(params: DeformParams, config: DeformConfig,
 
     def run_head(name):
         return (
-            jnp.matmul(h, params.head_w[name], precision="highest")
+            jnp.matmul(h, params.head_w[name], precision=config.precision)
             + params.head_b[name]
         )
 

@@ -99,6 +99,7 @@ class Trainer:
             t_multires=m.t_multires, sh_degree=m.sh_degree,
             isotropic=m.isotropic_gaussians,
             xavier_init_dxyz=m.xavier_init_dxyz,
+            precision=getattr(cfg.tpu, "deform_precision", "highest"),
         )
         self.deform = init_deform(jax.random.PRNGKey(m.seed + 1), self.deform_cfg)
         zeros = jax.tree.map(jnp.zeros_like, self.deform)

@@ -36,6 +36,9 @@ run f128 GFTORF_FWD_CHUNK=128 -- --iters 300 --warm 100
 run b128 GFTORF_BWD_CHUNK=128 -- --iters 300 --warm 100
 run b512 GFTORF_BWD_CHUNK=512 -- --iters 300 --warm 100
 run f256b128 GFTORF_FWD_CHUNK=256 GFTORF_BWD_CHUNK=128 -- --iters 300 --warm 100
+# Deform-MLP MXU precision (numerics knob — measured, not defaulted)
+run dp_high GFTORF_X=1 -- --iters 300 --warm 100 --set 'deform_precision="high"'
+run dp_def GFTORF_X=1 -- --iters 300 --warm 100 --set 'deform_precision="default"'
 
 echo "== rasterizer headline ==" | tee -a "$OUT/log"
 timeout 1200 python bench.py --rasterizer 2>&1 | tail -1 | tee -a "$OUT/log"
