@@ -122,9 +122,11 @@ def rasterize_sharded(
     # Capacity per shard: full capacity / n_dev. An uneven tile-row load
     # (all Gaussians in one row band) can overflow a shard at 1/n of the
     # single-device threshold — dup_overflow below is pmaxed across
-    # shards, so the Trainer's grow-and-replay reacts to the worst shard
-    # and doubles dup_factor until every shard fits (train/loop.py
-    # _grow_and_replay); there is no silent-truncation path.
+    # shards and rendered_worst reports the worst shard's need scaled to
+    # global dup_factor units, so the Trainer's sized-to-need
+    # grow-and-replay (train/loop.py _grow_and_replay) lands a factor
+    # whose per-shard slice covers the deepest shard in one replay;
+    # there is no silent-truncation path.
     capacity = max(1024, config.capacity_for(P_total) // n_dev)
     binning = bin_gaussians(
         local_rect, jax.lax.stop_gradient(pre.depth_view), pre.valid,
@@ -210,4 +212,5 @@ def rasterize_sharded(
         tile_overflow=jax.lax.pmax(binning.tile_overflow, axis_name),
         tile_max=jax.lax.pmax(binning.tile_max, axis_name),
         flow=None if flow_precomp is None else gather_img(out.flow),
+        rendered_worst=jax.lax.pmax(binning.num_rendered, axis_name) * n_dev,
     )

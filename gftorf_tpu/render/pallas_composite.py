@@ -77,9 +77,9 @@ BWD_CHUNK = int(_os.environ.get("GFTORF_BWD_CHUNK", 256))
 def _fwd_pref(L: int) -> int:
     """Forward chunk preference, shrunk for deep tiles so the kernel's
     scoped-VMEM stays under the 16MB v5e stack limit: the (PIX, CL)
-    chunk temporaries dominate at ~28 live f32 arrays, and the
-    double-buffered (L, 24) feature block grows with the tile cap
-    (train/loop.py grow-and-replay doubles max_per_tile on overflow)."""
+    chunk temporaries dominate, and the double-buffered (L, 24) feature
+    block grows with the tile cap (train/loop.py grow-and-replay sizes
+    max_per_tile to measured need on overflow)."""
     return FWD_CHUNK if L < 4096 else 256
 
 

@@ -115,6 +115,7 @@ def rasterize(
         dup_overflow=binning.dup_overflow,
         tile_overflow=binning.tile_overflow,
         tile_max=binning.tile_max,
+        rendered_worst=binning.num_rendered,
         flow=(None if flow_precomp is None
               else tiles_to_image(out.flow, config)),
     )

@@ -143,3 +143,10 @@ class RenderOutputs(NamedTuple):
     # given: alpha*T-composited with DETACHED weights — the reference's
     # render_flow output without its extra rasterization passes.
     flow: Optional[jnp.ndarray] = None
+    # Duplicate-capacity sizing basis: the instance total a SINGLE
+    # device's buffer must be able to hold, scaled to global dup_factor
+    # units. Single-device: == num_rendered. Sharded: worst shard's
+    # local count x n_shards (per-shard capacity is capacity/n, and an
+    # uneven tile-row load concentrates instances on one shard — sizing
+    # from the psum'd total would undershoot it). None -> num_rendered.
+    rendered_worst: Optional[jnp.ndarray] = None

@@ -217,13 +217,17 @@ class Trainer:
         # eval/render paths build their own default configs).
         dd_on = (opt.lambda_dd != 0.0
                  and opt.dd_loss_iter_end > opt.dd_loss_iter_start + 1)
-        gates = dict(need_dd=dd_on, need_distribution=False)
         return StepStatic(
             scene_type=self.scene.scene_type,
+            # The loss reads depth_distortion from the ToF render only
+            # (step.py consumes out_tof.depth_distortion), so the color
+            # config drops it even inside the dd window.
             config_color=dataclasses.replace(
-                self._raster_config(False), **gates),
+                self._raster_config(False),
+                need_dd=False, need_distribution=False),
             config_tof=dataclasses.replace(
-                self._raster_config(True), **gates),
+                self._raster_config(True),
+                need_dd=dd_on, need_distribution=False),
             deform=self.deform_cfg,
             active_sh_degree=self.active_sh_degree,
             total_num_views=m.total_num_views,

@@ -364,7 +364,9 @@ class StepAux(NamedTuple):
     pixels: jnp.ndarray  # (P,) touched-pixel counts
     # Buffer diagnostics, combined over BOTH renders (tof and, when the
     # cameras differ, color — either can overflow independently):
-    num_rendered: jnp.ndarray  # () int32 max over renders
+    num_rendered: jnp.ndarray  # () int32 max over renders of the
+    #   capacity-sizing basis (rendered_worst: worst-shard need in
+    #   global dup_factor units; == num_rendered single-device)
     dup_overflow: jnp.ndarray  # () int32 (0/1)
     tile_overflow: jnp.ndarray  # () int32
     tile_max: jnp.ndarray  # () int32 deepest tile across renders
@@ -903,16 +905,19 @@ def train_step(
         # would silently resurrect it.
         color_live = (not static.single_camera
                       and (static.color_on or static.depth_on))
+        def worst(o):
+            return o.num_rendered if o.rendered_worst is None \
+                else o.rendered_worst
+
         if color_live:
-            num_rend = jnp.maximum(out_tof.num_rendered,
-                                   out_color.num_rendered)
+            num_rend = jnp.maximum(worst(out_tof), worst(out_color))
             dup_ovf = jnp.maximum(out_tof.dup_overflow.astype(jnp.int32),
                                   out_color.dup_overflow.astype(jnp.int32))
             tile_ovf = jnp.maximum(out_tof.tile_overflow,
                                    out_color.tile_overflow)
             tile_max = jnp.maximum(out_tof.tile_max, out_color.tile_max)
         else:
-            num_rend = out_tof.num_rendered
+            num_rend = worst(out_tof)
             dup_ovf = out_tof.dup_overflow.astype(jnp.int32)
             tile_ovf = out_tof.tile_overflow
             tile_max = out_tof.tile_max

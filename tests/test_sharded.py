@@ -86,6 +86,36 @@ class TestShardedForward:
 
 
 @requires_8dev
+@requires_8dev
+def test_rendered_worst_tracks_skewed_shard():
+    """Tile-row sharding with a skewed layout: the dup-capacity sizing
+    basis (rendered_worst) must reflect the WORST shard's need scaled to
+    global dup_factor units, not the psum'd total — sizing dup_factor
+    from the total undershoots the loaded shard and degrades
+    grow-and-replay to a +1 crawl (per-shard capacity is capacity/n,
+    parallel/sharded.py)."""
+    # Scene confined to a thin horizontal band -> one tile-row shard
+    # holds nearly every instance.
+    sc = make_scene(jax.random.PRNGKey(5), num_points=200, width=64,
+                    height=64, max_per_tile=1024)
+    means = np.array(sc.means3d)  # copy: device arrays are read-only
+    means[:, 1] = means[:, 1] * 0.05  # squash vertically around center
+    sc = sc._replace(means3d=jnp.asarray(means))
+    single, sharded, args = make_fns(sc, 4)
+    o1 = jax.jit(single)(*args)
+    o2 = jax.jit(sharded)(*args)
+    total = int(o2.num_rendered)
+    worst = int(o2.rendered_worst)
+    assert total == int(o1.num_rendered)
+    assert int(o1.rendered_worst) == total  # single-device: == total
+    # fully-skewed: worst-shard need approaches total x n_shards
+    assert worst >= total  # always: pmax(local)*n >= psum(local)
+    # The squashed band concentrates on the middle tile-row shards
+    # (straddling two of the four): sizing from the total would
+    # under-provision the loaded shard by this factor.
+    assert worst >= int(1.5 * total)
+
+
 def test_dryrun_multichip():
     import __graft_entry__ as ge
 

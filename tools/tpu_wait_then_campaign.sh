@@ -6,6 +6,7 @@
 set -u
 cd /root/repo
 LOG=${LOG:-/tmp/parity/tunnel_wait.log}
+mkdir -p "$(dirname "$LOG")" /tmp/parity
 while :; do
     if timeout 300 python - >>"$LOG" 2>&1 <<'PY'
 import jax
