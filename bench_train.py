@@ -29,8 +29,12 @@ import numpy as np
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--platform", default=None)
-    ap.add_argument("--iters", type=int, default=300)
-    ap.add_argument("--warm", type=int, default=100,
+    # Warm-up must cover the adaptive-capacity settling: occupancy
+    # tracking evaluates after shrink_window=200 resolved steps and a
+    # shrink recompiles the step — that compile belongs in warm-up, not
+    # in the timed steady-state window.
+    ap.add_argument("--iters", type=int, default=550)
+    ap.add_argument("--warm", type=int, default=250,
                     help="iterations excluded from the timed window")
     ap.add_argument("--points", type=int, default=50_000)
     ap.add_argument("--width", type=int, default=320)

@@ -206,6 +206,12 @@ class TpuParams:
     # 6 bf16 passes — the reference's fp32 torch MLP), "high" (3),
     # "default" (1). Lower tiers are a measured speed/accuracy knob.
     deform_precision: str = "highest"
+    # Compositing tile shape. Larger tiles cut the Pallas grid-step
+    # count (per-tile fixed overhead) at the cost of more VMEM per
+    # depth chunk and coarser culling; the reference is pinned at 16x16
+    # (config.h BLOCK_X/Y) — ours is a measured knob.
+    tile_h: int = 16
+    tile_w: int = 16
     test_iterations: List[int] = field(default_factory=list)
     save_iterations: List[int] = field(default_factory=list)
     checkpoint_iterations: List[int] = field(default_factory=list)

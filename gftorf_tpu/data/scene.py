@@ -191,6 +191,8 @@ class Scene:
         t = self.cfg.tpu
         return RasterConfig(
             height=h, width=w,
+            tile_h=getattr(t, "tile_h", 16),
+            tile_w=getattr(t, "tile_w", 16),
             max_per_tile=t.max_per_tile,
             dup_factor=t.dup_factor,
             sh_degree=sh_degree,
