@@ -109,19 +109,30 @@ def init_deform(key, config: DeformConfig = DeformConfig()) -> DeformParams:
     return DeformParams(tuple(hw), tuple(hb), head_w, head_b)
 
 
+def embed_xyz(config: DeformConfig, xyz: jnp.ndarray) -> jnp.ndarray:
+    """Positional embedding of xyz, exposed so callers evaluating the
+    MLP at several times for the SAME points (the F-ToRF stacked
+    two-sample call, train/step.py) compute the 63-wide sin/cos block
+    once instead of per time sample — the transcendentals and their
+    backward recomputation were ~5% of the whole training step."""
+    return _embed(xyz, config.xyz_multires)
+
+
 def apply_deform(params: DeformParams, config: DeformConfig,
-                 xyz: jnp.ndarray, t: jnp.ndarray):
+                 xyz: jnp.ndarray, t: jnp.ndarray, x_emb=None):
     """Evaluate the deformation at normalized positions and time.
 
     Args:
         xyz: (N, 3) scene-extent-normalized positions.
         t: (N, 1) normalized frame time in [0, 1].
+        x_emb: optional precomputed embed_xyz(config, xyz).
 
     Returns:
         d_xyz (N, 3), d_rot (N, 4) zeros, d_sh (N, M, 3),
         d_sh_p (N, M, 2) zeros — matching time_utils.py:116-127.
     """
-    x_emb = _embed(xyz, config.xyz_multires)
+    if x_emb is None:
+        x_emb = embed_xyz(config, xyz)
     t_emb = _embed(t, config.t_multires)
     inp = jnp.concatenate([x_emb, t_emb], axis=-1)
     h = inp

@@ -74,21 +74,25 @@ FWD_CHUNK = int(_os.environ.get("GFTORF_FWD_CHUNK", 512))
 BWD_CHUNK = int(_os.environ.get("GFTORF_BWD_CHUNK", 256))
 
 
-def _fwd_pref(L: int) -> int:
-    """Forward chunk preference, shrunk for deep tiles so the kernel's
-    scoped-VMEM stays under the 16MB v5e stack limit: the (PIX, CL)
-    chunk temporaries dominate, and the double-buffered (L, 24) feature
-    block grows with the tile cap (train/loop.py grow-and-replay sizes
-    max_per_tile to measured need on overflow)."""
-    return FWD_CHUNK if L < 4096 else 256
+def _fwd_pref(L: int, pix: int = 256) -> int:
+    """Forward chunk preference, shrunk for deep tiles and large tiles
+    so the kernel's scoped-VMEM stays under the 16MB v5e stack limit:
+    the (PIX, CL) chunk temporaries dominate (budget calibrated at
+    PIX=256), and the double-buffered (L, 24) feature block grows with
+    the tile cap (train/loop.py grow-and-replay sizes max_per_tile to
+    measured need on overflow)."""
+    pref = FWD_CHUNK if L < 4096 else 256
+    return max(128, pref * 256 // max(pix, 256))
 
 
-def _bwd_pref(L: int) -> int:
+def _bwd_pref(L: int, pix: int = 256) -> int:
     """Backward chunk preference. Budget model (measured on v5e): the
-    per-chunk temporaries are ~14.5MB at CL=256 and the four buffered
-    copies of the (L, 24) feature/grad blocks add 4*L*24*4 bytes, so
-    CL=256 just overflows the 16MB scoped stack at L=4096."""
-    return BWD_CHUNK if L < 4096 else 128
+    per-chunk temporaries are ~14.5MB at (PIX=256, CL=256) and the four
+    buffered copies of the (L, 24) feature/grad blocks add 4*L*24*4
+    bytes, so CL=256 just overflows the 16MB scoped stack at L=4096;
+    VMEM scales with PIX x CL, so larger tiles shrink CL in kind."""
+    pref = BWD_CHUNK if L < 4096 else 128
+    return max(128, pref * 256 // max(pix, 256))
 
 
 def _pick_chunk(L: int, pref: int) -> int:
@@ -488,7 +492,7 @@ def composite_forward_pallas(feat_tl, bg_tiles, counts, origins,
                              config: RasterConfig, interpret: bool = False):
     T, L, _ = feat_tl.shape
     pix = config.tile_pixels
-    chunk = _pick_chunk(L, _fwd_pref(L))
+    chunk = _pick_chunk(L, _fwd_pref(L, pix))
     kernel = functools.partial(_forward_kernel, config=config, chunk=chunk)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
@@ -520,7 +524,7 @@ def composite_backward_pallas(feat_tl, bg_tiles, out_res, g, counts,
                               has_flow: bool = True):
     T, L, _ = feat_tl.shape
     pix = config.tile_pixels
-    chunk = _pick_chunk(L, _bwd_pref(L))
+    chunk = _pick_chunk(L, _bwd_pref(L, pix))
     kernel = functools.partial(_backward_kernel, config=config, chunk=chunk,
                                has_flow=has_flow)
     grid_spec = pltpu.PrefetchScalarGridSpec(

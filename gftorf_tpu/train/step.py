@@ -391,12 +391,13 @@ def _sharded_render(axis_name: str):
     return render
 
 
-def _apply_deform_rows(deform_params, config, xyz_n, t, shard_axis):
+def _apply_deform_rows(deform_params, config, xyz_n, t, shard_axis,
+                       x_emb=None):
     """Deform MLP over the primitive rows, optionally split across the
     shard axis (each device evaluates N/n rows, results all-gathered;
     the gather's transpose psums the MLP gradient contributions)."""
     if shard_axis is None:
-        return apply_deform(deform_params, config, xyz_n, t)
+        return apply_deform(deform_params, config, xyz_n, t, x_emb=x_emb)
     n = xyz_n.shape[0]
     n_dev = jax.lax.axis_size(shard_axis)
     per = -(-n // n_dev)
@@ -408,7 +409,8 @@ def _apply_deform_rows(deform_params, config, xyz_n, t, shard_axis):
         return jax.lax.dynamic_slice_in_dim(xp, start, per, axis=0)
 
     d_local = apply_deform(
-        deform_params, config, slice_rows(xyz_n), slice_rows(t)
+        deform_params, config, slice_rows(xyz_n), slice_rows(t),
+        x_emb=None if x_emb is None else slice_rows(x_emb),
     )
     return jax.tree.map(
         lambda x: jax.lax.all_gather(x, shard_axis, axis=0, tiled=True)[:n],
@@ -491,9 +493,15 @@ def _query_deform(static: StepStatic, deform_params, params, fid,
         jnp.broadcast_to(curr.astype(jnp.float32) / denom, (b, 1)),
         jnp.broadcast_to(nxt.astype(jnp.float32) / denom, (b, 1)),
     ])
+    # Both time samples share the points: embed xyz once and duplicate
+    # the 63-wide sin/cos block instead of recomputing it (and its
+    # backward) per sample.
+    from gftorf_tpu.models.deform import embed_xyz
+    x_emb1 = embed_xyz(static.deform, xyz_n)
     d2, _, _, _ = _apply_deform_rows(
         deform_params, static.deform,
         jnp.concatenate([xyz_n, xyz_n]), t2, shard_axis,
+        x_emb=jnp.concatenate([x_emb1, x_emb1]),
     )
     d_curr = expand(clip_dxyz(d2[:b]))
     d_next = expand(clip_dxyz(d2[b:]))
