@@ -90,7 +90,17 @@ def _bwd_pref(L: int, pix: int = 256) -> int:
     per-chunk temporaries are ~14.5MB at (PIX=256, CL=256) and the four
     buffered copies of the (L, 24) feature/grad blocks add 4*L*24*4
     bytes, so CL=256 just overflows the 16MB scoped stack at L=4096;
-    VMEM scales with PIX x CL, so larger tiles shrink CL in kind."""
+    VMEM scales with PIX x CL, so larger tiles shrink CL in kind.
+    Since CL cannot go below the 128-lane alignment, tiles above 512
+    pixels cannot fit the backward at all (measured: PIX=1024/CL=128
+    needs 19.5MB) — raise a configuration error instead of a Mosaic
+    compile crash."""
+    if pix > 512:
+        raise ValueError(
+            f"tile_pixels={pix} exceeds the Pallas backward kernel's "
+            "scoped-VMEM budget (max 512 pixels/tile, e.g. 16x32); use "
+            "smaller tiles or the XLA compositor (use_pallas=False)"
+        )
     pref = BWD_CHUNK if L < 4096 else 128
     return max(128, pref * 256 // max(pix, 256))
 
