@@ -68,10 +68,20 @@ import os as _os
 # shallow tiles at finer granularity (the while_loop bounds work by
 # ceil(count/CL) chunks) at the cost of more loop iterations on deep
 # ones; env overrides exist for on-hardware sweeps (bench_train.py).
-FWD_CHUNK = int(_os.environ.get("GFTORF_FWD_CHUNK", 512))
+def _chunk_env(name: str, default: int) -> int:
+    v = int(_os.environ.get(name, default))
+    if v < 128 or v % 128 != 0:
+        raise ValueError(
+            f"{name}={v}: kernel chunk sizes must be positive multiples "
+            "of 128 (the TPU lane width)"
+        )
+    return v
+
+
+FWD_CHUNK = _chunk_env("GFTORF_FWD_CHUNK", 512)
 # Backward keeps ~2x the live (PIX, CL) temporaries; 512 overflows the
 # 16MB scoped-VMEM stack limit on v5e.
-BWD_CHUNK = int(_os.environ.get("GFTORF_BWD_CHUNK", 256))
+BWD_CHUNK = _chunk_env("GFTORF_BWD_CHUNK", 256)
 
 
 def _fwd_pref(L: int, pix: int = 256) -> int:
@@ -102,7 +112,26 @@ def _bwd_pref(L: int, pix: int = 256) -> int:
             "smaller tiles or the XLA compositor (use_pallas=False)"
         )
     pref = BWD_CHUNK if L < 4096 else 128
-    return max(128, pref * 256 // max(pix, 256))
+    cl = max(128, pref * 256 // max(pix, 256))
+    # Full budget check including the L-dependent feature/grad blocks.
+    # Measured on v5e (2026-08-19): pix=512/CL=128/L=4096 allocates
+    # 20.28MB against the 16MB scoped-VMEM stack — the (PIX, CL)
+    # temporaries alone leave < 4*4096*24*4 bytes of headroom at 512px.
+    # max_per_tile can reach this via grow-and-replay on crowded scenes,
+    # so reject the configuration up front with the sizing story instead
+    # of crashing mid-training in Mosaic.
+    pixcl_mb = 14.5 * (pix * cl) / (256 * 256)
+    lterm_mb = 4 * L * 24 * 4 / 2**20
+    if pixcl_mb + lterm_mb > 15.5:
+        raise ValueError(
+            f"Pallas backward kernel over the scoped-VMEM budget: "
+            f"tile_pixels={pix}, chunk={cl}, max_per_tile={L} needs "
+            f"~{pixcl_mb + lterm_mb:.1f}MB of the 16MB v5e stack "
+            f"(measured 20.3MB at 512px/L=4096). Use 16x16 tiles, or "
+            f"cap max_per_tile_limit below "
+            f"{int((15.5 - pixcl_mb) * 2**20 / (4 * 24 * 4)) // 128 * 128}."
+        )
+    return cl
 
 
 def _pick_chunk(L: int, pref: int) -> int:

@@ -39,6 +39,17 @@ def dump_debug_images(trainer, idx: int, iteration: int) -> None:
     if not model_path:
         return
     static = trainer._static_for(max(iteration, 1))
+    # The training step gates need_dd on the dd-loss schedule; the debug
+    # dump must always show the real depth-distortion channel (the
+    # reference's tmp_debug dumps are unconditional, train.py:287-398),
+    # so re-enable it for this render regardless of the loss gates.
+    if not static.config_tof.need_dd:
+        import dataclasses
+
+        static = dataclasses.replace(
+            static,
+            config_tof=dataclasses.replace(static.config_tof, need_dd=True),
+        )
     frame = jax.tree.map(lambda a: a[idx], trainer.scene.train_frames)
     _, out_color, out_tof = eval_frame(
         static, trainer.model.params, trainer.deform,

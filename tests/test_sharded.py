@@ -86,7 +86,6 @@ class TestShardedForward:
 
 
 @requires_8dev
-@requires_8dev
 def test_rendered_worst_tracks_skewed_shard():
     """Tile-row sharding with a skewed layout: the dup-capacity sizing
     basis (rendered_worst) must reflect the WORST shard's need scaled to
@@ -116,6 +115,7 @@ def test_rendered_worst_tracks_skewed_shard():
     assert worst >= int(1.5 * total)
 
 
+@requires_8dev
 def test_dryrun_multichip():
     import __graft_entry__ as ge
 

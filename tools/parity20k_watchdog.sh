@@ -14,6 +14,9 @@
 # 3-scene campaign of BENCHLOG's "20k parity" section):
 #   SCENE   dataset dir (generated if missing)
 #   MODEL   model output dir
+#   GEN     generate | analytic      (data/generate.py: splat-rendered GT;
+#                                     data/analytic.py: ray-traced GT —
+#                                     the non-circular parity evidence)
 #   LAYOUT  room | slide | blobs     (data/generate.py)
 #   KIND    ftorf | torf             (dataset layout + config file)
 #   FRAMES  frame count (default 60 ftorf / 30 torf)
@@ -34,11 +37,16 @@ LOG=${LOG:-/tmp/parity20k.log}
 STALL_SECS=${STALL_SECS:-900}     # no log-file growth for this long = wedged
 MAX_RESTARTS=${MAX_RESTARTS:-12}
 
+GEN=${GEN:-generate}
+
 SCENE="$SCENE" LAYOUT="$LAYOUT" KIND="$KIND" FRAMES="$FRAMES" SEED="$SEED" \
-python - <<'PY'
+GEN="$GEN" python - <<'PY'
 import numpy as np, os
 import jax; jax.config.update('jax_platforms', 'cpu')
-from gftorf_tpu.data.generate import write_dataset
+if os.environ['GEN'] == 'analytic':
+    from gftorf_tpu.data.analytic import write_dataset
+else:
+    from gftorf_tpu.data.generate import write_dataset
 scene = os.environ['SCENE']
 kind = os.environ['KIND']
 probe = 'tof' if kind == 'torf' else 'tofType0'
