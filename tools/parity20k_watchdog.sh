@@ -24,7 +24,10 @@
 #   ITERS   iterations (default 20000)
 #   EXTRA   extra train.py args
 set -u
-cd /root/repo
+# Run against the repo this script lives in (campaigns run from an
+# rsync'd snapshot so in-flight edits to /root/repo can't change the
+# code mid-campaign).
+cd "$(dirname "$0")/.."
 
 KIND=${KIND:-ftorf}
 LAYOUT=${LAYOUT:-room}
