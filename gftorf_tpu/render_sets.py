@@ -167,6 +167,8 @@ def render_input_split(trainer, frames, n_frames, out_dir, cfg,
     count = n_frames if not max_frames else min(n_frames, max_frames)
     depth_range = trainer.scene.data.depth_range
     chans = ["color", "real", "imag", "amp", "depth", "depth_tof"]
+    if cfg.opt.use_quad:
+        chans += [f"quad_q{k}" for k in range(4)]
     for ch in chans:
         os.makedirs(os.path.join(out_dir, ch), exist_ok=True)
     for i in range(count):
@@ -187,6 +189,14 @@ def render_input_split(trainer, frames, n_frames, out_dir, cfg,
             "depth": depth_to_disp_viz(depth_tof, depth_range),
             "depth_tof": depth_to_disp_viz(depth_tof, depth_range),
         }
+        if cfg.opt.use_quad:
+            # GT quad captured at this frame's slot (i%4), at quad
+            # cadence — the reference's input quad_q{k}_{type} videos
+            # (render_ftorf_viz_traj.py save-input path) that feed the
+            # staircase panel's diagonal.
+            k = i % 4
+            q = np.abs(np.asarray(frame.gt_quad[k]))
+            imgs[f"quad_q{k}"] = to8b(normalize_im(q))
         for ch, img in imgs.items():
             imageio.imwrite(os.path.join(out_dir, ch, f"{i:04d}.png"), img)
 

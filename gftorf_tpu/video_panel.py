@@ -35,18 +35,20 @@ def _write_video(path_base: str, frames: List[np.ndarray], fps: float) -> str:
 
 def _annotate(img: np.ndarray, label: str) -> np.ndarray:
     """White margin + label strip above the clip (the reference's
-    moviepy margin(10, white) + TextClip overlay)."""
+    moviepy margin + TextClip overlay, render_ftorf_viz_traj.py:409-477:
+    top margin 22 with an annotation, plain 10px margins without)."""
     import cv2
 
     if img.ndim == 2:
         img = np.repeat(img[..., None], 3, axis=-1)
     h, w = img.shape[:2]
-    out = np.full((h + _LABEL_H + 2 * _MARGIN, w + 2 * _MARGIN, 3), 255,
-                  np.uint8)
-    out[_LABEL_H + _MARGIN:_LABEL_H + _MARGIN + h,
-        _MARGIN:_MARGIN + w] = img
-    cv2.putText(out, label, (_MARGIN, _LABEL_H - 2),
-                cv2.FONT_HERSHEY_SIMPLEX, 0.35, (0, 0, 0), 1, cv2.LINE_AA)
+    top = _LABEL_H + _MARGIN if label else _MARGIN
+    out = np.full((h + top + _MARGIN, w + 2 * _MARGIN, 3), 255, np.uint8)
+    out[top:top + h, _MARGIN:_MARGIN + w] = img
+    if label:
+        cv2.putText(out, label, (_MARGIN, _LABEL_H - 2),
+                    cv2.FONT_HERSHEY_SIMPLEX, 0.35, (0, 0, 0), 1,
+                    cv2.LINE_AA)
     return out
 
 
@@ -67,6 +69,54 @@ def _placeholder(shape, label):
     img = np.full(shape, 230, np.uint8)
     cv2.putText(img, label, (4, shape[0] // 2), cv2.FONT_HERSHEY_SIMPLEX,
                 0.4, (90, 90, 90), 1, cv2.LINE_AA)
+    return img
+
+
+def _bordered_placeholder(h, w, lines):
+    """White tile with a 2px gray border and centered gray caption
+    line(s) — the reference's 'Unknown' / 'N of 4' + 'quads acquired'
+    placeholder cells (render_ftorf_viz_traj.py:426-452, twoRows)."""
+    import cv2
+
+    img = np.full((h, w, 3), 255, np.uint8)
+    img[:2, :] = img[-2:, :] = 128
+    img[:, :2] = img[:, -2:] = 128
+    n = len(lines)
+    for i, text in enumerate(lines):
+        (tw, th), _ = cv2.getTextSize(text, cv2.FONT_HERSHEY_SIMPLEX, 0.4, 1)
+        y = h // 2 + int((i - (n - 1) / 2) * (th + 8)) + th // 2
+        cv2.putText(img, text, (max((w - tw) // 2, 2), y),
+                    cv2.FONT_HERSHEY_SIMPLEX, 0.4, (150, 150, 150), 1,
+                    cv2.LINE_AA)
+    return img
+
+
+def _vline_cell(height, width=10, line_width=3):
+    """A white column with a black vertical separator line, the
+    reference's get_vline (render_ftorf_viz_traj.py:479-486)."""
+    img = np.full((height, width, 3), 255, np.uint8)
+    x0 = (width - line_width) // 2
+    img[:, x0:x0 + line_width] = 0
+    return img
+
+
+def _time_axis_strip(panel_h, row_h, labels, width=72):
+    """Left-hand time-axis strip: 'Time' caption, a downward arrow, and
+    one label per row — the reference's draw_time_axis_as_image /
+    make_time_axis_video (render_ftorf_viz_traj.py:488-521), drawn with
+    cv2 instead of matplotlib."""
+    import cv2
+
+    img = np.full((panel_h, width, 3), 255, np.uint8)
+    cv2.putText(img, "Time", (2, 14), cv2.FONT_HERSHEY_SIMPLEX, 0.4,
+                (0, 0, 0), 1, cv2.LINE_AA)
+    x = int(width * 0.8)
+    cv2.arrowedLine(img, (x, 6), (x, panel_h - 6), (0, 0, 0), 2,
+                    cv2.LINE_AA, tipLength=12.0 / panel_h)
+    for i, label in enumerate(labels):
+        y = int((i + 0.5) * row_h)
+        cv2.putText(img, label, (2, y + 4), cv2.FONT_HERSHEY_SIMPLEX, 0.4,
+                    (0, 0, 0), 1, cv2.LINE_AA)
     return img
 
 
@@ -100,7 +150,11 @@ def create_website_panel(model_path: str, iteration: int,
     frames = []
     for t in range(n_frames):
         row = []
-        for clip, label in clips:
+        for i, (clip, label) in enumerate(clips):
+            if i == 3:
+                # Separator between the input/baseline group and the
+                # Ours group (render_ftorf_viz_traj.py:563-566).
+                row.append(_vline_cell(shape[0]))
             if clip:
                 row.append(clip[t % len(clip)])
             else:
@@ -114,6 +168,94 @@ def create_website_panel(model_path: str, iteration: int,
         frames, fps,
     )
     print(f"[website_panel]: {out}")
+    return out
+
+
+_QUAD_NAMES = ["0", "pi/2", "pi", "3pi/2"]
+
+
+def create_quad_cadence_panel(model_path: str, iteration: int,
+                              traj_dir: Optional[str] = None,
+                              fps: float = 2.5) -> Optional[str]:
+    """The raw-quads staircase panel (render_ftorf_viz_traj.py:592-680):
+    4 rows, one per quad slot. Row k shows the GT quad captured at slot
+    k on the diagonal of a 4-column group ('Unknown' bordered
+    placeholders elsewhere — only one quad type is acquired per frame),
+    a 'k+1 of 4 / quads acquired' cell, a vertical separator, then the
+    rendered quad and depth for that slot. A time-axis strip with per-row
+    labels runs down the left (:488-521). Captions annotate row 1 only,
+    like the reference's font_size=20 header row.
+    """
+    traj_dir = traj_dir or os.path.join(model_path, f"traj_{iteration}")
+
+    gt_clips = [_load_clip(os.path.join(model_path, "input", f"quad_q{k}"))
+                for k in range(4)]
+    ren_clips = [_load_clip(os.path.join(traj_dir, f"quad_q{k}"))
+                 for k in range(4)]
+    dep_clips = [_load_clip(os.path.join(traj_dir, f"depth_q{k}"))
+                 for k in range(4)]
+    have = [c for c in gt_clips + ren_clips + dep_clips if c]
+    if not have:
+        return None
+    h, w = have[0][0].shape[:2]
+    n_frames = max(len(c) for c in have)
+
+    rows = []
+    for k in range(4):
+        first = k == 0
+        cells = []
+        # GT group: captured quad on the diagonal, Unknown elsewhere.
+        for q in range(4):
+            label = f"Quad {_QUAD_NAMES[q]}" if first else ""
+            if q == k and gt_clips[k]:
+                cells.append((gt_clips[k], label, None))
+            else:
+                cells.append((None, label, ["Unknown"]))
+        cells.append((None, "C-ToF Depth" if first else "",
+                      [f"{k + 1} of 4", "quads acquired"]))
+        cells.append("vline")
+        cells.append((ren_clips[k],
+                      f"Ours (Rendered Quad {_QUAD_NAMES[k]})"
+                      if first else "", ["n/a"]))
+        cells.append((dep_clips[k], "Ours (Depth)" if first else "",
+                      ["n/a"]))
+        rows.append(cells)
+
+    panel_frames = []
+    for t in range(n_frames):
+        row_imgs = []
+        for cells in rows:
+            imgs = []
+            for cell in cells:
+                if cell == "vline":
+                    imgs.append(None)  # sized after the row height known
+                    continue
+                clip, label, ph_lines = cell
+                if clip:
+                    img = clip[t % len(clip)]
+                    if img.shape[:2] != (h, w):
+                        img = np.asarray(img)[:h, :w]
+                else:
+                    img = _bordered_placeholder(h, w, ph_lines)
+                imgs.append(_annotate(img, label))
+            rh = max(i.shape[0] for i in imgs if i is not None)
+            imgs = [_vline_cell(rh) if i is None else np.pad(
+                i, ((0, rh - i.shape[0]), (0, 0), (0, 0)),
+                constant_values=255) for i in imgs]
+            row_imgs.append(np.concatenate(imgs, axis=1))
+        wmax = max(r.shape[1] for r in row_imgs)
+        row_imgs = [np.pad(r, ((0, 0), (0, wmax - r.shape[1]), (0, 0)),
+                           constant_values=255) for r in row_imgs]
+        body = np.concatenate(row_imgs, axis=0)
+        axis = _time_axis_strip(body.shape[0], row_imgs[0].shape[0],
+                                [f"t{k}" for k in range(4)])
+        panel_frames.append(np.concatenate([axis, body], axis=1))
+
+    out = _write_video(
+        os.path.join(model_path, f"iteration_{iteration}_quad_panel"),
+        panel_frames, fps,
+    )
+    print(f"[quad_panel]: {out}")
     return out
 
 

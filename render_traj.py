@@ -164,9 +164,13 @@ def main(argv=None):
         imageio.mimsave(os.path.join(out_dir, "traj.gif"),
                         traj_frames, duration=0.08)
 
-    from gftorf_tpu.video_panel import create_website_panel
+    from gftorf_tpu.video_panel import (
+        create_quad_cadence_panel,
+        create_website_panel,
+    )
 
     create_website_panel(args.model_path, it, traj_dir=out_dir)
+    create_quad_cadence_panel(args.model_path, it, traj_dir=out_dir)
     print(f"trajectory renders written to {out_dir}")
     return out_dir
 

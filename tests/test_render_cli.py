@@ -174,3 +174,95 @@ def test_write_video_prefers_mp4_with_backend(tmp_path, monkeypatch):
     monkeypatch.setattr(imageio, "get_writer", raising_get_writer)
     out2 = vp._write_video(str(tmp_path / "clip2"), frames, fps=12.0)
     assert out2.endswith(".gif") and os.path.exists(out2)
+
+
+def test_quad_cadence_panel_geometry_and_labels(tmp_path):
+    """The staircase quad panel (render_ftorf_viz_traj.py:592-680
+    analog): 4 rows with GT quads on the diagonal, bordered 'Unknown'
+    placeholders off-diagonal, a black vertical separator between the
+    GT and Ours groups, a time-axis strip on the left, and caption text
+    present in the header row."""
+    import imageio.v2 as imageio
+
+    from gftorf_tpu import video_panel as vp
+
+    model = str(tmp_path / "model")
+    traj = os.path.join(model, "traj_10")
+    h, w = 24, 32
+    rng = np.random.default_rng(0)
+    for k in range(4):
+        for folder, n in [
+            (os.path.join(model, "input", f"quad_q{k}"), 2),
+            (os.path.join(traj, f"quad_q{k}"), 2),
+            (os.path.join(traj, f"depth_q{k}"), 2),
+        ]:
+            os.makedirs(folder)
+            for i in range(n):
+                img = rng.integers(40, 200, (h, w), np.uint8)
+                imageio.imwrite(os.path.join(folder, f"{i:04d}.png"), img)
+
+    out = vp.create_quad_cadence_panel(model, 10, traj_dir=traj)
+    assert out is not None and os.path.exists(out)
+    frame = imageio.imread(out if out.endswith(".png") else out)
+    if frame.ndim == 4:  # gif stack
+        frame = frame[0]
+    fh, fw = frame.shape[:2]
+
+    # Geometry: header row is taller (label strip); 7 content cells +
+    # vline + time axis wide. Each unlabeled cell is h+2m tall, w+2m
+    # wide; header adds the label strip.
+    m, lab = vp._MARGIN, vp._LABEL_H
+    cell_w = w + 2 * m
+    # axis + 7 content cells (4 GT + status + rendered quad + depth)
+    # + the vline column
+    expected_w = 72 + 7 * cell_w + 10
+    expected_h = (h + lab + 2 * m) + 3 * (h + 2 * m)
+    assert (fh, fw) == (expected_h, expected_w), (fh, fw)
+
+    # The vertical separator: a column of black pixels after the 5th
+    # content cell, spanning the full panel height.
+    x0 = 72 + 5 * cell_w
+    sep = frame[:, x0:x0 + 10]
+    assert (sep.min(axis=-1) < 30).any(axis=1).all(), "vline not full-height"
+
+    # Labels present: dark (text) pixels inside the header label strip
+    # of the first content cell, and none in row 2's margin-only strip.
+    header_strip = frame[:lab, 72 + m:72 + cell_w - m]
+    assert (header_strip.min(axis=-1) < 100).any(), "caption text missing"
+
+    # Placeholders: gray 2px border in an off-diagonal GT cell (row 0,
+    # col 1) at the placeholder's top edge.
+    y_img = lab + m  # image origin in header row
+    x_img = 72 + cell_w + m  # col 1 image origin
+    border = frame[y_img:y_img + 2, x_img:x_img + w]
+    assert np.all(np.abs(border.astype(int) - 128) < 40), "border missing"
+
+    # Time axis: "Time" text -> dark pixels in the top-left strip.
+    axis_top = frame[:16, :70]
+    assert (axis_top.min(axis=-1) < 100).any(), "time-axis caption missing"
+
+
+def test_website_panel_has_separator(tmp_path):
+    """create_website_panel inserts the group separator vline between
+    the baselines and the Ours columns (render_ftorf_viz_traj.py:563)."""
+    import imageio.v2 as imageio
+
+    from gftorf_tpu import video_panel as vp
+
+    model = str(tmp_path / "model")
+    traj = os.path.join(model, "traj_5")
+    for folder in [os.path.join(model, "input", "depth"),
+                   os.path.join(traj, "depth_quad"),
+                   os.path.join(traj, "traj")]:
+        os.makedirs(folder)
+        imageio.imwrite(os.path.join(folder, "0000.png"),
+                        np.full((16, 20), 90, np.uint8))
+
+    out = vp.create_website_panel(model, 5, traj_dir=traj)
+    assert out is not None
+    frame = imageio.imread(out)
+    if frame.ndim == 4:
+        frame = frame[0]
+    # some column must be black top-to-bottom (the separator)
+    dark_cols = (frame.min(axis=-1) < 30).all(axis=0)
+    assert dark_cols.any(), "no full-height separator column"
