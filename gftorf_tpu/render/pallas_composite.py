@@ -117,21 +117,38 @@ def _bwd_pref(L: int, pix: int = 256) -> int:
     # Measured on v5e (2026-08-19): pix=512/CL=128/L=4096 allocates
     # 20.28MB against the 16MB scoped-VMEM stack — the (PIX, CL)
     # temporaries alone leave < 4*4096*24*4 bytes of headroom at 512px.
-    # max_per_tile can reach this via grow-and-replay on crowded scenes,
-    # so reject the configuration up front with the sizing story instead
-    # of crashing mid-training in Mosaic.
-    pixcl_mb = 14.5 * (pix * cl) / (256 * 256)
+    # max_per_tile can reach this via grow-and-replay on crowded scenes.
+    # The (PIX, CL) term shrinks with CL, so first walk the chunk down
+    # (fewer lanes per scan iteration — slightly slower, still correct)
+    # and only reject the configuration when CL=128 still overflows,
+    # instead of crashing mid-training on a deep-tile escalation.
     lterm_mb = 4 * L * 24 * 4 / 2**20
+    while cl > 128 and 14.5 * (pix * cl) / (256 * 256) + lterm_mb > 15.5:
+        cl -= 128
+    pixcl_mb = 14.5 * (pix * cl) / (256 * 256)
     if pixcl_mb + lterm_mb > 15.5:
         raise ValueError(
-            f"Pallas backward kernel over the scoped-VMEM budget: "
-            f"tile_pixels={pix}, chunk={cl}, max_per_tile={L} needs "
-            f"~{pixcl_mb + lterm_mb:.1f}MB of the 16MB v5e stack "
-            f"(measured 20.3MB at 512px/L=4096). Use 16x16 tiles, or "
-            f"cap max_per_tile_limit below "
+            f"Pallas backward kernel over the scoped-VMEM budget even at "
+            f"the minimum chunk: tile_pixels={pix}, chunk={cl}, "
+            f"max_per_tile={L} needs ~{pixcl_mb + lterm_mb:.1f}MB of the "
+            f"16MB v5e stack (measured 20.3MB at 512px/L=4096). Use "
+            f"smaller tiles, or cap max_per_tile_limit below "
             f"{int((15.5 - pixcl_mb) * 2**20 / (4 * 24 * 4)) // 128 * 128}."
         )
     return cl
+
+
+def max_feasible_tile_cap(pix: int) -> int:
+    """Largest max_per_tile (128-multiple) whose backward kernel fits
+    the scoped-VMEM budget at the minimum CL=128 chunk. The Trainer
+    clamps its grow-and-replay ceiling to this so a crowded scene
+    truncates with a warning (like hitting max_per_tile_limit) instead
+    of raising mid-training."""
+    pixcl_mb = 14.5 * (pix * 128) / (256 * 256)
+    if pixcl_mb >= 15.5:
+        return 0  # _bwd_pref rejects pix > 512 outright
+    return max(128, int((15.5 - pixcl_mb) * 2**20 / (4 * 24 * 4))
+               // 128 * 128)
 
 
 def _pick_chunk(L: int, pref: int) -> int:

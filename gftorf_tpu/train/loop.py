@@ -120,6 +120,28 @@ class Trainer:
         self.tile_cap = cfg.tpu.max_per_tile
         self.tile_cap_limit = max(self.tile_cap,
                                   getattr(cfg.tpu, "max_per_tile_limit", 16384))
+        if cfg.tpu.use_pallas:
+            # The Pallas backward kernel's scoped-VMEM budget bounds the
+            # tile depth for a given tile shape (pallas_composite.py
+            # _bwd_pref); clamp the grow-and-replay ceiling so a crowded
+            # scene truncates with the limit warning instead of raising
+            # mid-training.
+            from gftorf_tpu.render.pallas_composite import (
+                max_feasible_tile_cap,
+            )
+
+            feas = max_feasible_tile_cap(cfg.tpu.tile_h * cfg.tpu.tile_w)
+            if self.tile_cap > feas:
+                raise ValueError(
+                    f"max_per_tile={self.tile_cap} infeasible for "
+                    f"{cfg.tpu.tile_h}x{cfg.tpu.tile_w} tiles (backward "
+                    f"scoped-VMEM bound: {feas})"
+                )
+            if self.tile_cap_limit > feas:
+                print(f"[trainer] max_per_tile_limit {self.tile_cap_limit} "
+                      f"-> {feas} ({cfg.tpu.tile_h}x{cfg.tpu.tile_w} tile "
+                      f"backward VMEM bound)", flush=True)
+                self.tile_cap_limit = feas
         self._tile_limit_warned = False
         # Duplicate-list capacity factor: grown (and the step replayed)
         # on overflow, mirroring the tile-cap escalation — the reference
