@@ -120,35 +120,54 @@ def _bwd_pref(L: int, pix: int = 256) -> int:
     # max_per_tile can reach this via grow-and-replay on crowded scenes.
     # The (PIX, CL) term shrinks with CL, so first walk the chunk down
     # (fewer lanes per scan iteration — slightly slower, still correct)
-    # and only reject the configuration when CL=128 still overflows,
-    # instead of crashing mid-training on a deep-tile escalation.
+    # for deep tiles instead of crashing on a deep-tile escalation. The
+    # analytic model here is only a chunk-selection heuristic; the
+    # authoritative feasibility bound is the compiler-calibrated
+    # max_feasible_tile_cap table below.
     lterm_mb = 4 * L * 24 * 4 / 2**20
     while cl > 128 and 14.5 * (pix * cl) / (256 * 256) + lterm_mb > 15.5:
         cl -= 128
-    pixcl_mb = 14.5 * (pix * cl) / (256 * 256)
-    if pixcl_mb + lterm_mb > 15.5:
+    cap = max_feasible_tile_cap(pix)
+    if L > cap:
         raise ValueError(
-            f"Pallas backward kernel over the scoped-VMEM budget even at "
-            f"the minimum chunk: tile_pixels={pix}, chunk={cl}, "
-            f"max_per_tile={L} needs ~{pixcl_mb + lterm_mb:.1f}MB of the "
-            f"16MB v5e stack (measured 20.3MB at 512px/L=4096). Use "
-            f"smaller tiles, or cap max_per_tile_limit below "
-            f"{int((15.5 - pixcl_mb) * 2**20 / (4 * 24 * 4)) // 128 * 128}."
+            f"max_per_tile={L} exceeds the calibrated backward "
+            f"scoped-VMEM bound for tile_pixels={pix} "
+            f"(max_feasible_tile_cap={cap}, tools/vmem_probe.py); the "
+            f"Trainer clamps growth to this bound — lower max_per_tile "
+            f"or use smaller tiles."
         )
     return cl
 
 
+# Calibrated against the real v5e compiler (tools/vmem_probe.py,
+# 2026-08-20): the largest max_per_tile whose backward kernel compiles
+# at CL=128 with ALL channel gates on (need_dd + need_distribution, the
+# worst case any program sharing the trainer's cap runs — eval/debug
+# renders), minus one 128 step of margin. Gates-on boundaries measured
+# at realistic grids (T=300 / T=150; scoped VMEM grows with Mosaic's
+# grid multi-buffering, so tiny-grid probes under-measure): 16x16 ->
+# 4864, 16x32 -> 1408. Every 128-multiple below these caps was
+# sweep-verified to compile — allocation is NON-monotonic in L (e.g.
+# 16x32 gates-off: L=4224 allocates 17.7MB but L=8320 only 16.75MB),
+# so the exhaustive sweep, not the boundary alone, is the guarantee.
+_BWD_CAP_CALIBRATED = {256: 4736, 512: 1280}
+
+
 def max_feasible_tile_cap(pix: int) -> int:
     """Largest max_per_tile (128-multiple) whose backward kernel fits
-    the scoped-VMEM budget at the minimum CL=128 chunk. The Trainer
+    the scoped-VMEM stack at the minimum CL=128 chunk. The Trainer
     clamps its grow-and-replay ceiling to this so a crowded scene
     truncates with a warning (like hitting max_per_tile_limit) instead
     of raising mid-training."""
-    pixcl_mb = 14.5 * (pix * 128) / (256 * 256)
-    if pixcl_mb >= 15.5:
-        return 0  # _bwd_pref rejects pix > 512 outright
-    return max(128, int((15.5 - pixcl_mb) * 2**20 / (4 * 24 * 4))
-               // 128 * 128)
+    if pix > 512:
+        return 0  # _bwd_pref rejects these outright
+    if pix in _BWD_CAP_CALIBRATED:
+        return _BWD_CAP_CALIBRATED[pix]
+    # Uncalibrated tile shapes: take the nearest calibrated bound, never
+    # scaled up (smaller tiles only gain headroom; larger lose it).
+    base = 256 if pix <= 256 else 512
+    cap = _BWD_CAP_CALIBRATED[base] * min(1.0, base / pix)
+    return max(128, int(cap) // 128 * 128)
 
 
 def _pick_chunk(L: int, pref: int) -> int:

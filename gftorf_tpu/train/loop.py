@@ -654,6 +654,10 @@ class Trainer:
         self.active_sh_degree = meta["active_sh_degree"]
         self.lambda_color = meta["lambda_color"]
         self.opacity_reset_interval = meta["opacity_reset_interval"]
-        self.tile_cap = int(meta.get("tile_cap", self.tile_cap))
-        self.dup_factor = int(meta.get("dup_factor", self.dup_factor))
+        # Clamp restored capacities to this build's ceilings (the
+        # checkpoint may predate a tightened VMEM-feasibility bound).
+        self.tile_cap = min(int(meta.get("tile_cap", self.tile_cap)),
+                            self.tile_cap_limit)
+        self.dup_factor = min(int(meta.get("dup_factor", self.dup_factor)),
+                              self.dup_factor_limit)
         self._update_deform_bucket()
