@@ -149,3 +149,124 @@ def bin_gaussians(
         tile_overflow=tile_overflow,
         tile_max=jnp.max(raw_count),
     )
+
+
+class FlatBinning(NamedTuple):
+    """Aligned sorted-stream layout for the flat compositor
+    (render/flat_stream.py): per-tile contiguous segments starting at
+    FLAT_ALIGN multiples — the reference's identifyTileRanges layout
+    (rasterizer_impl.cu:118-140) with alignment padding instead of a
+    range table. No tile-depth capacity exists in this layout: any
+    per-tile count within the duplicate capacity is represented."""
+
+    gauss_flat: jnp.ndarray  # (K_pad,) int32 gaussian ids; -1 = padding
+    chunk_tile: jnp.ndarray  # (K_pad/FLAT_ALIGN,) int32 owning tile
+    num_rendered: jnp.ndarray  # () int32
+    dup_overflow: jnp.ndarray  # () bool
+    tile_max: jnp.ndarray  # () int32 deepest tile (occupancy metric)
+
+
+def bin_gaussians_flat(
+    rect: jnp.ndarray,
+    depth_view: jnp.ndarray,
+    valid: jnp.ndarray,
+    config: RasterConfig,
+    capacity: int,
+    num_tiles: int | None = None,
+) -> FlatBinning:
+    """Build the aligned flat-stream layout (same expansion + sort as
+    bin_gaussians; the dense (T, L) scatter is replaced by a scatter
+    into per-tile aligned stream segments)."""
+    from gftorf_tpu.render.flat_stream import FLAT_ALIGN, flat_stream_capacity
+
+    P = rect.shape[0]
+    T = num_tiles if num_tiles is not None else config.num_tiles
+    A = FLAT_ALIGN
+    K_pad = flat_stream_capacity(capacity, T)
+
+    depth_key = jnp.where(valid, depth_view, jnp.inf).astype(jnp.float32)
+    _, order = jax.lax.sort(
+        (depth_key, jnp.arange(P, dtype=jnp.int32)), num_keys=1,
+        is_stable=True,
+    )
+    rect = jnp.take(rect, order, axis=0)
+    valid = jnp.take(valid, order)
+
+    nx = rect[:, 2] - rect[:, 0]
+    counts = jnp.where(valid, nx * (rect[:, 3] - rect[:, 1]), 0).astype(
+        jnp.int32)
+    cum = jnp.cumsum(counts)
+    num_rendered = cum[-1]
+    dup_overflow = num_rendered > capacity
+    offsets = cum - counts
+
+    slots = jnp.arange(capacity, dtype=jnp.int32)
+    slot_valid = slots < num_rendered
+
+    gids = jnp.arange(P, dtype=jnp.int32)
+    seg = jnp.zeros((capacity,), jnp.int32).at[offsets].max(gids, mode="drop")
+    g = jax.lax.cummax(seg)
+    start = jnp.zeros((capacity,), jnp.int32).at[offsets].max(
+        offsets, mode="drop"
+    )
+    start = jax.lax.cummax(start)
+    within = slots - start
+
+    packed = (
+        rect[:, 0] | (rect[:, 1] << 8) | (jnp.maximum(nx, 1) << 16)
+    ).astype(jnp.int32)
+    pk = jnp.take(packed, g, axis=0)
+    x0 = pk & 0xFF
+    y0 = (pk >> 8) & 0xFF
+    nxg = (pk >> 16) & 0xFF
+    tile_x = x0 + within % nxg
+    tile_y = y0 + within // nxg
+    tile = tile_y * config.grid_w + tile_x
+    tile = jnp.where(slot_valid, tile, T).astype(jnp.int32)
+
+    tile_s, g_s = jax.lax.sort((tile, g), num_keys=1, is_stable=True)
+    g_s = jnp.take(order, g_s, axis=0)
+
+    tids = jnp.arange(T, dtype=jnp.int32)
+    tile_start = jnp.searchsorted(tile_s, tids, side="left")
+    tile_end = jnp.searchsorted(tile_s, tids, side="right")
+    raw_count = (tile_end - tile_start).astype(jnp.int32)
+
+    # Aligned segment bases: every tile gets at least one A-block (empty
+    # tiles still must emit their bg-only output block).
+    blocks_per_tile = jnp.maximum(1, -(-raw_count // A))
+    base_block = jnp.cumsum(blocks_per_tile) - blocks_per_tile  # (T,)
+    n_blocks = K_pad // A
+
+    # Position within tile (scatter+cummax over the sorted stream).
+    is_head = jnp.concatenate(
+        [jnp.ones((1,), bool), tile_s[1:] != tile_s[:-1]]
+    )
+    head_pos = jnp.where(is_head, slots, 0)
+    seg_start = jax.lax.cummax(head_pos)
+    pos = slots - seg_start
+
+    keep = tile_s < T
+    dest = jnp.where(
+        keep, jnp.take(base_block, jnp.minimum(tile_s, T - 1)) * A + pos,
+        K_pad,
+    )
+    gauss_flat = jnp.full((K_pad,), -1, jnp.int32).at[dest].set(
+        g_s, mode="drop"
+    )
+
+    # Block -> tile map: scatter each tile's index at its base block
+    # (strictly increasing since blocks_per_tile >= 1), then cummax.
+    # Tail blocks inherit the last tile — their rows are -1 padding.
+    ct = jnp.zeros((n_blocks,), jnp.int32).at[base_block].max(
+        tids, mode="drop"
+    )
+    chunk_tile = jax.lax.cummax(ct)
+
+    return FlatBinning(
+        gauss_flat=gauss_flat,
+        chunk_tile=chunk_tile,
+        num_rendered=num_rendered,
+        dup_overflow=dup_overflow,
+        tile_max=jnp.max(raw_count),
+    )

@@ -56,6 +56,12 @@ def rasterize(
     )
 
     capacity = config.capacity_for(P)
+
+    if (config.use_pallas and config.flat_stream
+            and jax.default_backend() == "tpu"):
+        return _rasterize_flat(pre, bg_map, config, capacity, P,
+                               flow_precomp)
+
     binning = bin_gaussians(
         jax.lax.stop_gradient(pre.rect),
         jax.lax.stop_gradient(pre.depth_view),
@@ -114,6 +120,56 @@ def rasterize(
         num_rendered=binning.num_rendered,
         dup_overflow=binning.dup_overflow,
         tile_overflow=binning.tile_overflow,
+        tile_max=binning.tile_max,
+        rendered_worst=binning.num_rendered,
+        flow=(None if flow_precomp is None
+              else tiles_to_image(out.flow, config)),
+    )
+
+
+def _rasterize_flat(pre, bg_map, config: RasterConfig, capacity: int, P: int,
+                    flow_precomp, interpret: bool = False):
+    """Flat sorted-stream path (render/flat_stream.py): the feature
+    gather, compositing and backward scatter are all sized to the
+    duplicate capacity instead of T*max_per_tile, and tile depth is
+    unbounded (tile_overflow is identically 0)."""
+    from gftorf_tpu.render.binning import bin_gaussians_flat
+    from gftorf_tpu.render.flat_stream import composite_packed_flat
+    from gftorf_tpu.render.pallas_composite import pack_gaussian_features
+
+    binning = bin_gaussians_flat(
+        jax.lax.stop_gradient(pre.rect),
+        jax.lax.stop_gradient(pre.depth_view),
+        pre.valid,
+        config,
+        capacity,
+    )
+    ids = binning.gauss_flat
+    idc = jnp.maximum(ids, 0)
+    packed = pack_gaussian_features(pre, flow=flow_precomp)  # (P, 24)
+    # Padding rows must be all-zero (opacity 0 -> dead lanes); the
+    # select fuses into the gather.
+    feat_fl = jnp.where(
+        (ids >= 0)[:, None], jnp.take(packed, idc, axis=0), 0.0
+    )
+    out = composite_packed_flat(
+        feat_fl, binning.chunk_tile, bg_map, config,
+        interpret=interpret, has_flow=flow_precomp is not None,
+    )
+    pixels = jax.ops.segment_sum(out.contrib_pixels, idc, num_segments=P)
+
+    return RenderOutputs(
+        color=tiles_to_image(out.color, config),
+        phasor=tiles_to_image(out.phasor, config),
+        depth=tiles_to_image(out.depth, config),
+        acc=tiles_to_image(out.acc, config),
+        depth_distortion=tiles_to_image(out.dd, config),
+        distribution=tiles_to_image(out.distribution, config),
+        pixels=pixels[:, None],
+        radii=jax.lax.stop_gradient(pre.radius).astype(jnp.int32),
+        num_rendered=binning.num_rendered,
+        dup_overflow=binning.dup_overflow,
+        tile_overflow=jnp.int32(0),
         tile_max=binning.tile_max,
         rendered_worst=binning.num_rendered,
         flow=(None if flow_precomp is None

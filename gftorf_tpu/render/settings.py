@@ -86,6 +86,12 @@ class RasterConfig:
     tile_chunk: int = 32
     # Use the Pallas compositing kernel when available.
     use_pallas: bool = True
+    # Flat sorted-stream compositor (render/flat_stream.py): consume the
+    # depth-sorted duplicate stream directly instead of the dense
+    # (T, max_per_tile) layout. Gather/scatter volume tracks
+    # num_rendered, tile depth is unbounded (no truncation, no
+    # max_per_tile VMEM ceiling). Pallas-path only.
+    flat_stream: bool = False
     # Static channel gates. The training step disables what its loss
     # never reads so the compositing kernels skip the work (the
     # depth-distortion moments alone are three extra prefix scans per
