@@ -189,6 +189,11 @@ class TpuParams:
     mesh_shards: int = 1  # devices for tile/primitive sharding
     mesh_data: int = 1  # devices for camera data-parallelism
     use_pallas: bool = True
+    # Flat sorted-stream compositor (render/flat_stream.py): stream-
+    # sized gathers, unbounded tile depth (no truncation / tile-cap VMEM
+    # ceiling). TPU Pallas path only; validated vs the XLA compositor in
+    # tests/test_flat_stream.py and on hardware via tools/tpu_selftest.
+    flat_stream: bool = False
     # Gather alive rows into a next-pow2 bucket before rasterization so
     # per-Gaussian preprocess cost tracks the live count, not capacity.
     compact_render: bool = True

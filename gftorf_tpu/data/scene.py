@@ -199,6 +199,7 @@ class Scene:
             use_view_dependent_phase=self.cfg.model.use_view_dependent_phase,
             tile_chunk=t.tile_chunk,
             use_pallas=t.use_pallas,
+            flat_stream=getattr(t, "flat_stream", False),
         )
 
 

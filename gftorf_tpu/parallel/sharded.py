@@ -128,28 +128,6 @@ def rasterize_sharded(
     # whose per-shard slice covers the deepest shard in one replay;
     # there is no silent-truncation path.
     capacity = max(1024, config.capacity_for(P_total) // n_dev)
-    binning = bin_gaussians(
-        local_rect, jax.lax.stop_gradient(pre.depth_view), pre.valid,
-        local_cfg, capacity,
-    )
-
-    ids = binning.gauss_id
-    idc = jnp.maximum(ids, 0)
-    feats = TileFeatures(
-        gauss_id=ids,
-        mean2d=jnp.take(pre.mean2d, idc, axis=0),
-        conic=jnp.take(pre.conic, idc, axis=0),
-        opacity=jnp.take(pre.opacity, idc, axis=0),
-        rgb=jnp.take(pre.rgb, idc, axis=0),
-        phasor=jnp.take(pre.phasor, idc, axis=0),
-        dist=jnp.take(pre.dist, idc, axis=0),
-        dist_ndc=jnp.take(pre.dist_ndc, idc, axis=0),
-        # flow arrives replicated; pad rows like the gathered pre arrays
-        # so instance ids (which index the padded layout) line up.
-        flow=(None if flow_precomp is None else jnp.take(
-            _pad_to_multiple(flow_precomp, per * n_dev), idc, axis=0
-        )),
-    )
 
     # local slice of the background map (pad rows to shard evenly)
     bg_p = jnp.pad(
@@ -162,7 +140,8 @@ def rasterize_sharded(
 
     # Global pixel-space tile origins for my local tile rows: mean2d is in
     # global pixel coords, and the inside test needs the global H/W.
-    t_local = jnp.arange(rows * config.grid_w, dtype=jnp.int32)
+    local_T = rows * config.grid_w
+    t_local = jnp.arange(local_T, dtype=jnp.int32)
     tile_origins = jnp.stack(
         [
             (t_local % config.grid_w) * config.tile_w,
@@ -171,15 +150,72 @@ def rasterize_sharded(
         axis=-1,
     ).astype(jnp.float32)
 
-    if config.use_pallas and jax.default_backend() == "tpu":
-        from gftorf_tpu.render.pallas_composite import composite_tiles_pallas
-
-        out = composite_tiles_pallas(
-            feats, bg_local, config, tile_origins=tile_origins
+    use_flat = (config.use_pallas and config.flat_stream
+                and jax.default_backend() == "tpu")
+    if use_flat:
+        # Flat sorted-stream path: stream-sized gather, no tile-depth
+        # capacity on the local tile rows (render/flat_stream.py).
+        from gftorf_tpu.render.binning import bin_gaussians_flat
+        from gftorf_tpu.render.flat_stream import composite_packed_flat
+        from gftorf_tpu.render.pallas_composite import (
+            pack_gaussian_features,
         )
+
+        binning = bin_gaussians_flat(
+            local_rect, jax.lax.stop_gradient(pre.depth_view), pre.valid,
+            local_cfg, capacity, num_tiles=local_T,
+        )
+        ids = binning.gauss_flat
+        idc = jnp.maximum(ids, 0)
+        packed = pack_gaussian_features(
+            pre,
+            flow=(None if flow_precomp is None
+                  else _pad_to_multiple(flow_precomp, per * n_dev)),
+        )
+        feat_fl = jnp.where(
+            (ids >= 0)[:, None], jnp.take(packed, idc, axis=0), 0.0
+        )
+        out = composite_packed_flat(
+            feat_fl, binning.chunk_tile, bg_local, config,
+            tile_origins=tile_origins, num_tiles=local_T,
+            has_flow=flow_precomp is not None,
+        )
+        tile_overflow = jnp.int32(0)
     else:
-        out = composite_tiles(feats, bg_local, config,
-                              tile_origins=tile_origins)
+        binning = bin_gaussians(
+            local_rect, jax.lax.stop_gradient(pre.depth_view), pre.valid,
+            local_cfg, capacity,
+        )
+        ids = binning.gauss_id
+        idc = jnp.maximum(ids, 0)
+        feats = TileFeatures(
+            gauss_id=ids,
+            mean2d=jnp.take(pre.mean2d, idc, axis=0),
+            conic=jnp.take(pre.conic, idc, axis=0),
+            opacity=jnp.take(pre.opacity, idc, axis=0),
+            rgb=jnp.take(pre.rgb, idc, axis=0),
+            phasor=jnp.take(pre.phasor, idc, axis=0),
+            dist=jnp.take(pre.dist, idc, axis=0),
+            dist_ndc=jnp.take(pre.dist_ndc, idc, axis=0),
+            # flow arrives replicated; pad rows like the gathered pre
+            # arrays so instance ids (padded layout) line up.
+            flow=(None if flow_precomp is None else jnp.take(
+                _pad_to_multiple(flow_precomp, per * n_dev), idc, axis=0
+            )),
+        )
+        tile_overflow = binning.tile_overflow
+
+        if config.use_pallas and jax.default_backend() == "tpu":
+            from gftorf_tpu.render.pallas_composite import (
+                composite_tiles_pallas,
+            )
+
+            out = composite_tiles_pallas(
+                feats, bg_local, config, tile_origins=tile_origins
+            )
+        else:
+            out = composite_tiles(feats, bg_local, config,
+                                  tile_origins=tile_origins)
 
     # ---- images: gather tile rows back to full height (replicated).
     def gather_img(tile_img):
@@ -209,7 +245,7 @@ def rasterize_sharded(
         dup_overflow=jax.lax.pmax(
             binning.dup_overflow.astype(jnp.int32), axis_name
         ).astype(bool),
-        tile_overflow=jax.lax.pmax(binning.tile_overflow, axis_name),
+        tile_overflow=jax.lax.pmax(tile_overflow, axis_name),
         tile_max=jax.lax.pmax(binning.tile_max, axis_name),
         flow=None if flow_precomp is None else gather_img(out.flow),
         rendered_worst=jax.lax.pmax(binning.num_rendered, axis_name) * n_dev,

@@ -120,12 +120,16 @@ class Trainer:
         self.tile_cap = cfg.tpu.max_per_tile
         self.tile_cap_limit = max(self.tile_cap,
                                   getattr(cfg.tpu, "max_per_tile_limit", 16384))
-        if cfg.tpu.use_pallas:
-            # The Pallas backward kernel's scoped-VMEM budget bounds the
-            # tile depth for a given tile shape (pallas_composite.py
-            # _bwd_pref); clamp the grow-and-replay ceiling so a crowded
-            # scene truncates with the limit warning instead of raising
-            # mid-training.
+        if (cfg.tpu.use_pallas and not cfg.tpu.flat_stream
+                and jax.default_backend() == "tpu"):
+            # The DENSE Pallas backward kernel's scoped-VMEM budget
+            # bounds the tile depth for a given tile shape
+            # (pallas_composite.py _bwd_pref); clamp the grow-and-replay
+            # ceiling so a crowded scene truncates with the limit
+            # warning instead of raising mid-training. The flat-stream
+            # kernels (render/flat_stream.py) have no such bound (tile
+            # depth is not a kernel dimension), and on CPU the XLA
+            # compositor runs instead.
             from gftorf_tpu.render.pallas_composite import (
                 max_feasible_tile_cap,
             )
@@ -388,8 +392,11 @@ class Trainer:
         # Hysteresis: shrink only past a 1.5x gap (each capacity change
         # recompiles the step). Growth lands exactly at need * margin,
         # so the [need, 1.5*need] band absorbs occupancy fluctuation
-        # without oscillating.
-        if tile_target * 3 <= self.tile_cap * 2:
+        # without oscillating. Flat-stream mode has no tile-depth
+        # capacity — changing max_per_tile there would only recompile
+        # the step for nothing.
+        if (not self.cfg.tpu.flat_stream
+                and tile_target * 3 <= self.tile_cap * 2):
             shrunk.append(f"max_per_tile {self.tile_cap} -> {tile_target} "
                           f"(deepest tile {self._occ_tile_max})")
             self.tile_cap = tile_target

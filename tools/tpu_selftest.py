@@ -35,6 +35,7 @@ def check(label: str, **scene_kwargs):
     from gftorf_tpu.data.synthetic import make_scene
     from gftorf_tpu.render.rasterize import rasterize
 
+    flat = scene_kwargs.pop("_flat", False)
     sc = make_scene(jax.random.PRNGKey(0), **scene_kwargs)
     n = sc.means3d.shape[0]
     bg = jax.random.uniform(jax.random.PRNGKey(1),
@@ -42,8 +43,9 @@ def check(label: str, **scene_kwargs):
     zeros2d = jnp.zeros((n, 2))
     flow3d = jax.random.normal(jax.random.PRNGKey(2), (n, 6))
 
-    def run(use_pallas):
-        config = dataclasses.replace(sc.config, use_pallas=use_pallas)
+    def run(use_pallas, flat=False):
+        config = dataclasses.replace(sc.config, use_pallas=use_pallas,
+                                     flat_stream=flat)
 
         def loss(means3d, scales, opac, flow):
             out = rasterize(
@@ -63,7 +65,7 @@ def check(label: str, **scene_kwargs):
                 jax.tree.map(np.asarray, grads))
 
     v_x, out_x, g_x = run(False)
-    v_p, out_p, g_p = run(True)
+    v_p, out_p, g_p = run(True, flat=flat)
 
     errs = {}
     errs["loss_rel"] = float(abs(v_p - v_x) / (abs(v_x) + 1e-8))
@@ -105,9 +107,15 @@ def main():
                     max_per_tile=512, scale_range=(0.01, 0.05))
     ok2, e2 = check("deep", num_points=4096, width=64, height=48,
                     max_per_tile=4096, scale_range=(0.05, 0.3))
-    print(json.dumps({"ok": bool(ok1 and ok2), "backend": "tpu",
-                      **e1, **e2}))
-    return 0 if (ok1 and ok2) else 1
+    # Flat sorted-stream kernels (render/flat_stream.py), incl. a deep
+    # scene whose crowding the dense layout could only truncate.
+    ok3, e3 = check("flat", num_points=4096, width=128, height=96,
+                    max_per_tile=512, scale_range=(0.01, 0.05), _flat=True)
+    ok4, e4 = check("flatdeep", num_points=4096, width=64, height=48,
+                    max_per_tile=4096, scale_range=(0.05, 0.3), _flat=True)
+    ok = bool(ok1 and ok2 and ok3 and ok4)
+    print(json.dumps({"ok": ok, "backend": "tpu", **e1, **e2, **e3, **e4}))
+    return 0 if ok else 1
 
 
 if __name__ == "__main__":
