@@ -12,8 +12,11 @@ from gftorf_tpu.train.loop import Trainer
 
 
 def make_trainer(tile_cap=2048, dup_factor=24, render_bucket=0,
-                 capacity=4096, window=4):
+                 capacity=4096, window=4, flat_stream=False):
     t = Trainer.__new__(Trainer)
+    t.cfg = types.SimpleNamespace(
+        tpu=types.SimpleNamespace(flat_stream=flat_stream)
+    )
     t.shrink_window = window
     t.tile_cap_floor = 256
     t.dup_factor_floor = 2
@@ -88,3 +91,14 @@ def test_disabled_window():
     t = make_trainer(window=0)
     feed(t, tile_max=1, rendered_max=1, n=10)
     assert t.tile_cap == 2048 and t.dup_factor == 24
+
+
+def test_flat_stream_skips_tile_cap_shrink():
+    # Flat-stream mode has no per-tile depth capacity; shrinking
+    # max_per_tile there would only recompile the step for nothing.
+    # dup_factor (stream length) must still shrink.
+    t = make_trainer(tile_cap=2048, dup_factor=24, capacity=4096,
+                     flat_stream=True)
+    feed(t, tile_max=300, rendered_max=8000, n=4)
+    assert t.tile_cap == 2048
+    assert t.dup_factor == 3
