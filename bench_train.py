@@ -39,6 +39,10 @@ def main():
     ap.add_argument("--points", type=int, default=50_000)
     ap.add_argument("--width", type=int, default=320)
     ap.add_argument("--height", type=int, default=240)
+    ap.add_argument("--profile", default=None, metavar="DIR",
+                    help="capture a jax.profiler trace of 20 steady-"
+                         "state steps into DIR (parse with "
+                         "tools/xplane_report.py)")
     ap.add_argument("--set", action="append", default=[],
                     help="config overrides key=json_value (ablations)")
     args = ap.parse_args()
@@ -87,6 +91,12 @@ def main():
     for _ in range(args.warm):
         trainer.step()
     trainer.drain()
+
+    if args.profile:
+        with jax.profiler.trace(args.profile):
+            for _ in range(20):
+                trainer.step()
+            trainer.drain()
 
     t0 = time.perf_counter()
     outs = []
