@@ -194,6 +194,25 @@ class TpuParams:
     # ceiling). TPU Pallas path only; validated vs the XLA compositor in
     # tests/test_flat_stream.py and on hardware via tools/tpu_selftest.
     flat_stream: bool = False
+    # What to do when a scene's deepest tile outgrows the dense Pallas
+    # backward's VMEM-calibrated max_per_tile ceiling
+    # (pallas_composite.max_feasible_tile_cap):
+    #   "flat"     — switch to the exact flat-stream compositor (no
+    #                tile-depth bound; ~10-15% slower step) and switch
+    #                back once the scene thins out. Default: the
+    #                reference rasterizer is never lossy
+    #                (rasterizer_impl.cu:311 sizes buffers exactly).
+    #   "truncate" — keep the dense kernels and drop the deepest
+    #                instances with a one-time warning (round-4
+    #                behavior; explicit opt-in only).
+    tile_overflow_fallback: str = "flat"
+    # Verify at Trainer startup (TPU only) that the dense backward
+    # kernel still compiles at the calibrated VMEM ceiling the trainer
+    # will clamp to — the calibration table is point-in-time compiler
+    # truth, and a toolchain change must fail loudly at startup with a
+    # recalibration hint instead of crashing mid-campaign (AOT compile,
+    # ~free after the first run via the persistent compilation cache).
+    check_vmem_cap: bool = True
     # Gather alive rows into a next-pow2 bucket before rasterization so
     # per-Gaussian preprocess cost tracks the live count, not capacity.
     compact_render: bool = True

@@ -77,10 +77,13 @@ FLAT_ALIGN = max(FLAT_FWD_CHUNK, FLAT_BWD_CHUNK, 256)
 
 def _flat_chunk(pref: int, pix: int) -> int:
     """Chunk for a tile-pixel count: hold PIX*CL roughly constant
-    (VMEM), floor at the 128 lane width."""
-    c = max(128, pref * 256 // max(pix, 256))
+    (VMEM), floor at the 128 lane width. The starting value must be a
+    lane multiple or the divisibility walk below never terminates
+    (e.g. pix=384 gives 170; 170-128k never divides FLAT_ALIGN)."""
+    c = max(128, (pref * 256 // max(pix, 256)) // 128 * 128)
     while FLAT_ALIGN % c != 0:  # keep alignment divisibility
         c -= 128
+    assert c >= 128 and FLAT_ALIGN % c == 0
     return c
 
 
@@ -400,9 +403,21 @@ def _scratch(pix, config, backward):
     return shapes
 
 
-def _chunk_tiles_for(chunk_tile_aligned, chunk):
+def _chunk_tiles_for(chunk_tile_aligned, chunk, K_pad=None):
     """chunk->tile map at kernel-chunk granularity from the FLAT_ALIGN-
-    granularity map (every kernel chunk lies inside one aligned block)."""
+    granularity map (every kernel chunk lies inside one aligned block).
+
+    The K_pad consistency assert catches a stream binned under a
+    different FLAT_ALIGN (e.g. GFTORF_FLAT_*_CHUNK env differing between
+    the binning and compositing process): a mismatch would silently let
+    kernel chunks straddle tile boundaries and corrupt carried state."""
+    assert FLAT_ALIGN % chunk == 0, (chunk, FLAT_ALIGN)
+    if K_pad is not None:
+        assert chunk_tile_aligned.shape[0] * FLAT_ALIGN == K_pad, (
+            f"flat stream layout/kernel alignment mismatch: "
+            f"{chunk_tile_aligned.shape[0]} aligned blocks x FLAT_ALIGN="
+            f"{FLAT_ALIGN} != K_pad={K_pad}"
+        )
     rep = FLAT_ALIGN // chunk
     if rep == 1:
         return chunk_tile_aligned
@@ -418,7 +433,7 @@ def composite_forward_flat(feat_fl, bg_tiles, chunk_tile, origins,
     pix = config.tile_pixels
     chunk = _flat_chunk(FLAT_FWD_CHUNK, pix)
     nc = K_pad // chunk
-    ct = _chunk_tiles_for(chunk_tile, chunk)
+    ct = _chunk_tiles_for(chunk_tile, chunk, K_pad)
     kernel = functools.partial(_forward_kernel_flat, config=config,
                                chunk=chunk)
     grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -455,7 +470,7 @@ def composite_backward_flat(feat_fl, bg_tiles, out_res, g, chunk_tile,
     pix = config.tile_pixels
     chunk = _flat_chunk(FLAT_BWD_CHUNK, pix)
     nc = K_pad // chunk
-    ct = _chunk_tiles_for(chunk_tile, chunk)
+    ct = _chunk_tiles_for(chunk_tile, chunk, K_pad)
     kernel = functools.partial(_backward_kernel_flat, config=config,
                                chunk=chunk, has_flow=has_flow)
     grid_spec = pltpu.PrefetchScalarGridSpec(

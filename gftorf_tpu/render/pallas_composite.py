@@ -95,7 +95,8 @@ def _fwd_pref(L: int, pix: int = 256) -> int:
     return max(128, pref * 256 // max(pix, 256))
 
 
-def _bwd_pref(L: int, pix: int = 256) -> int:
+def _bwd_pref(L: int, pix: int = 256, need_dd: bool = True,
+              need_distribution: bool = True) -> int:
     """Backward chunk preference. Budget model (measured on v5e): the
     per-chunk temporaries are ~14.5MB at (PIX=256, CL=256) and the four
     buffered copies of the (L, 24) feature/grad blocks add 4*L*24*4
@@ -127,46 +128,86 @@ def _bwd_pref(L: int, pix: int = 256) -> int:
     lterm_mb = 4 * L * 24 * 4 / 2**20
     while cl > 128 and 14.5 * (pix * cl) / (256 * 256) + lterm_mb > 15.5:
         cl -= 128
-    cap = max_feasible_tile_cap(pix)
+    cap = max_feasible_tile_cap(pix, need_dd, need_distribution)
     if L > cap:
         raise ValueError(
             f"max_per_tile={L} exceeds the calibrated backward "
             f"scoped-VMEM bound for tile_pixels={pix} "
-            f"(max_feasible_tile_cap={cap}, tools/vmem_probe.py); the "
-            f"Trainer clamps growth to this bound — lower max_per_tile "
-            f"or use smaller tiles."
+            f"(max_feasible_tile_cap={cap} at need_dd={need_dd}, "
+            f"need_distribution={need_distribution}; tools/vmem_probe.py);"
+            f" the Trainer clamps growth to this bound — lower "
+            f"max_per_tile or use smaller tiles."
         )
     return cl
 
 
-# Calibrated against the real v5e compiler (tools/vmem_probe.py,
-# 2026-08-20): the largest max_per_tile whose backward kernel compiles
-# at CL=128 with ALL channel gates on (need_dd + need_distribution, the
-# worst case any program sharing the trainer's cap runs — eval/debug
-# renders), minus one 128 step of margin. Gates-on boundaries measured
-# at realistic grids (T=300 / T=150; scoped VMEM grows with Mosaic's
-# grid multi-buffering, so tiny-grid probes under-measure): 16x16 ->
-# 4864, 16x32 -> 1408. Every 128-multiple below these caps was
-# sweep-verified to compile — allocation is NON-monotonic in L (e.g.
-# 16x32 gates-off: L=4224 allocates 17.7MB but L=8320 only 16.75MB),
-# so the exhaustive sweep, not the boundary alone, is the guarantee.
-_BWD_CAP_CALIBRATED = {256: 4736, 512: 1280}
+# Calibrated against the real v5e compiler (tools/vmem_probe.py): the
+# largest max_per_tile whose backward kernel compiles at CL=128 for a
+# given (tile_pixels, need_dd, need_distribution) channel-gate combo,
+# minus one 128 step of margin. The dd moments and first-sample stats
+# each add per-chunk temporaries and prefix scans, so gates-off kernels
+# fit deeper tiles — and the training step (the only program that ever
+# runs the BACKWARD kernel) has distribution off always and dd off
+# unless a dd-loss window is configured, so keying the bound by gates
+# buys real headroom at the shipped defaults. Boundaries measured at
+# realistic grids (T=300 / T=150; scoped VMEM grows with Mosaic's grid
+# multi-buffering, so tiny-grid probes under-measure). Every
+# 128-multiple below each cap was sweep-verified to compile —
+# allocation is NON-monotonic in L (e.g. 16x32 gates-off: L=4224
+# allocates 17.7MB but L=8320 only 16.75MB), so the exhaustive sweep,
+# not the boundary alone, is the guarantee.
+# Gates-on rows: round-4 calibration (2026-08-20). Gates-off/dd rows:
+# round-5 exhaustive sweeps, same toolchain + protocol
+# (tools/vmem_probe.py --sweep; chunk=128, grids 300/150):
+#   16x16 none: OK through 5760, overflow at 5888   -> ship 5632
+#   16x32 none: OK through 3328, overflow at 3456   -> ship 3200
+#   16x32 dd:   OK through 1408, overflow at 1536   -> ship 1280
+# The gates-off 16x32 cap (3200) is 2.5x the gates-on bound — at the
+# shipped defaults (no dd window) the trainer's ceiling more than
+# covers the bench workload's measured need of 1920, so the dense
+# kernels stay exact where round 4 truncated.
+_BWD_CAP_CALIBRATED = {
+    (256, True, True): 4736,
+    (256, False, False): 5632,
+    (512, True, True): 1280,
+    (512, True, False): 1280,
+    (512, False, False): 3200,
+}
 
 
-def max_feasible_tile_cap(pix: int) -> int:
+def _gate_fallbacks(need_dd: bool, need_distribution: bool):
+    """Calibration-key fallback order: the exact gate combo first, then
+    combos with MORE gates on (more scratch -> smaller, always-safe
+    caps), fewest extra gates first, ending at all-on."""
+    combos = [
+        (dd, dist)
+        for dd in ((True,) if need_dd else (False, True))
+        for dist in ((True,) if need_distribution else (False, True))
+    ]
+    exact = (need_dd, need_distribution)
+    rest = [c for c in combos if c != exact]
+    rest.sort(key=lambda c: (c[0] + c[1], c))
+    return [exact] + rest
+
+
+def max_feasible_tile_cap(pix: int, need_dd: bool = True,
+                          need_distribution: bool = True) -> int:
     """Largest max_per_tile (128-multiple) whose backward kernel fits
-    the scoped-VMEM stack at the minimum CL=128 chunk. The Trainer
-    clamps its grow-and-replay ceiling to this so a crowded scene
-    truncates with a warning (like hitting max_per_tile_limit) instead
-    of raising mid-training."""
+    the scoped-VMEM stack at the minimum CL=128 chunk, for the given
+    channel gates. The Trainer clamps its grow-and-replay ceiling to
+    this (at its own step's gates) and falls back to the exact
+    flat-stream compositor when a scene outgrows it (train/loop.py)."""
     if pix > 512:
         return 0  # _bwd_pref rejects these outright
-    if pix in _BWD_CAP_CALIBRATED:
-        return _BWD_CAP_CALIBRATED[pix]
+    for dd, dist in _gate_fallbacks(need_dd, need_distribution):
+        cap = _BWD_CAP_CALIBRATED.get((pix, dd, dist))
+        if cap is not None:
+            return cap
     # Uncalibrated tile shapes: take the nearest calibrated bound, never
     # scaled up (smaller tiles only gain headroom; larger lose it).
     base = 256 if pix <= 256 else 512
-    cap = _BWD_CAP_CALIBRATED[base] * min(1.0, base / pix)
+    cap = max_feasible_tile_cap(base, need_dd, need_distribution)
+    cap *= min(1.0, base / pix)
     return max(128, int(cap) // 128 * 128)
 
 
@@ -599,7 +640,8 @@ def composite_backward_pallas(feat_tl, bg_tiles, out_res, g, counts,
                               has_flow: bool = True):
     T, L, _ = feat_tl.shape
     pix = config.tile_pixels
-    chunk = _pick_chunk(L, _bwd_pref(L, pix))
+    chunk = _pick_chunk(
+        L, _bwd_pref(L, pix, config.need_dd, config.need_distribution))
     kernel = functools.partial(_backward_kernel, config=config, chunk=chunk,
                                has_flow=has_flow)
     grid_spec = pltpu.PrefetchScalarGridSpec(

@@ -120,21 +120,39 @@ class Trainer:
         self.tile_cap = cfg.tpu.max_per_tile
         self.tile_cap_limit = max(self.tile_cap,
                                   getattr(cfg.tpu, "max_per_tile_limit", 16384))
-        if (cfg.tpu.use_pallas and not cfg.tpu.flat_stream
+        # Active compositor layout. `flat_stream` may flip to True at
+        # runtime (auto-fallback below) and back; `_flat_auto` marks an
+        # automatic switch so only those disengage when the scene thins.
+        self.flat_stream = bool(cfg.tpu.flat_stream)
+        self._flat_auto = False
+        self._flat_fallback_ok = (
+            cfg.tpu.use_pallas
+            and jax.default_backend() == "tpu"
+            and getattr(cfg.tpu, "tile_overflow_fallback", "flat") == "flat"
+        )
+        if (cfg.tpu.use_pallas and not self.flat_stream
                 and jax.default_backend() == "tpu"):
             # The DENSE Pallas backward kernel's scoped-VMEM budget
             # bounds the tile depth for a given tile shape
             # (pallas_composite.py _bwd_pref); clamp the grow-and-replay
-            # ceiling so a crowded scene truncates with the limit
-            # warning instead of raising mid-training. The flat-stream
-            # kernels (render/flat_stream.py) have no such bound (tile
-            # depth is not a kernel dimension), and on CPU the XLA
-            # compositor runs instead.
+            # ceiling to the calibrated bound AT THIS STEP'S CHANNEL
+            # GATES (the training step is the only program that runs the
+            # backward kernel; its config_tof carries need_dd only when
+            # a dd-loss window exists and never need_distribution, see
+            # _static_for). Past the ceiling the trainer switches to the
+            # exact flat-stream compositor (tile depth is not a kernel
+            # dimension there) unless tile_overflow_fallback="truncate".
+            # On CPU the XLA compositor runs instead (no VMEM bound).
             from gftorf_tpu.render.pallas_composite import (
                 max_feasible_tile_cap,
             )
 
-            feas = max_feasible_tile_cap(cfg.tpu.tile_h * cfg.tpu.tile_w)
+            dd_possible = (opt.lambda_dd != 0.0
+                           and opt.dd_loss_iter_end
+                           > opt.dd_loss_iter_start + 1)
+            feas = max_feasible_tile_cap(
+                cfg.tpu.tile_h * cfg.tpu.tile_w,
+                need_dd=dd_possible, need_distribution=False)
             if self.tile_cap > feas:
                 raise ValueError(
                     f"max_per_tile={self.tile_cap} infeasible for "
@@ -144,8 +162,19 @@ class Trainer:
             if self.tile_cap_limit > feas:
                 print(f"[trainer] max_per_tile_limit {self.tile_cap_limit} "
                       f"-> {feas} ({cfg.tpu.tile_h}x{cfg.tpu.tile_w} tile "
-                      f"backward VMEM bound)", flush=True)
+                      f"backward VMEM bound; overflow past it falls back "
+                      f"to {'the exact flat-stream compositor' if self._flat_fallback_ok else 'truncation'})",
+                      flush=True)
                 self.tile_cap_limit = feas
+            if getattr(cfg.tpu, "check_vmem_cap", True):
+                # Compiler-truth guard: fail loudly NOW if the
+                # calibrated ceiling no longer compiles on this
+                # toolchain (render/vmem_check.py).
+                from gftorf_tpu.render.vmem_check import check_bwd_cap
+
+                check_bwd_cap(cfg.tpu.tile_h, cfg.tpu.tile_w,
+                              self.tile_cap_limit, need_dd=dd_possible,
+                              need_distribution=False)
         self._tile_limit_warned = False
         # Duplicate-list capacity factor: grown (and the step replayed)
         # on overflow, mirroring the tile-cap escalation — the reference
@@ -226,9 +255,11 @@ class Trainer:
     def _raster_config(self, tof: bool):
         cfg = self.scene.raster_config(tof, self.cfg.model.sh_degree)
         if (cfg.max_per_tile != self.tile_cap
-                or cfg.dup_factor != self.dup_factor):
+                or cfg.dup_factor != self.dup_factor
+                or cfg.flat_stream != self.flat_stream):
             cfg = dataclasses.replace(cfg, max_per_tile=self.tile_cap,
-                                      dup_factor=self.dup_factor)
+                                      dup_factor=self.dup_factor,
+                                      flat_stream=self.flat_stream)
         return cfg
 
     def _static_for(self, iteration: int) -> StepStatic:
@@ -352,6 +383,15 @@ class Trainer:
             )
         if self._overflowed(metrics):
             metrics = self._grow_and_replay(rec, metrics)
+        else:
+            # Unrecoverable overflow (every ceiling already reached —
+            # possible when caps start at their limits, e.g. a resumed
+            # run): the grow-and-replay path never runs, so the loud
+            # truncation warnings must fire here.
+            if metrics["tile_overflow"] > 0:
+                self._warn_tile_limit(rec["it"], metrics["tile_overflow"])
+            if metrics["dup_overflow"] > 0:
+                self._warn_dup_limit(rec["it"])
         self._note_occupancy(metrics)
 
         loss = metrics["loss"]
@@ -389,13 +429,32 @@ class Trainer:
             return
         shrunk = []
         tile_target = self._tile_cap_need(self._occ_tile_max)
+        # Auto-engaged flat-stream disengages once the deepest observed
+        # tile fits the dense ceiling with the same 1.5x hysteresis the
+        # shrinks use — the dense kernels are ~10-15% faster per step,
+        # so reclaiming them when the scene thins out matters. An
+        # over-eager switch-back self-corrects through grow-and-replay
+        # (which re-engages flat at the ceiling).
+        if (self.flat_stream and self._flat_auto
+                and tile_target * 3 <= self.tile_cap_limit * 2):
+            print(f"[iter {self.iteration}] occupancy tracking: deepest "
+                  f"tile {self._occ_tile_max} fits the dense ceiling "
+                  f"{self.tile_cap_limit}; flat-stream fallback off "
+                  f"(max_per_tile -> {tile_target})", flush=True)
+            self.flat_stream = False
+            self._flat_auto = False
+            self.tile_cap = tile_target
+            self._occ_steps = 0
+            self._occ_tile_max = 0
+            self._occ_rendered_max = 0
+            return
         # Hysteresis: shrink only past a 1.5x gap (each capacity change
         # recompiles the step). Growth lands exactly at need * margin,
         # so the [need, 1.5*need] band absorbs occupancy fluctuation
         # without oscillating. Flat-stream mode has no tile-depth
         # capacity — changing max_per_tile there would only recompile
         # the step for nothing.
-        if (not self.cfg.tpu.flat_stream
+        if (not self.flat_stream
                 and tile_target * 3 <= self.tile_cap * 2):
             shrunk.append(f"max_per_tile {self.tile_cap} -> {tile_target} "
                           f"(deepest tile {self._occ_tile_max})")
@@ -429,11 +488,15 @@ class Trainer:
                    -(-int(rendered_max * self._CAP_MARGIN) // p_rows))
 
     def _overflowed(self, metrics: dict) -> bool:
-        """True when a growable capacity was exceeded this step (the
+        """True when a recoverable capacity was exceeded this step (the
         reference sizes both buffers exactly every step and is never
-        lossy: rasterizer_impl.cu:311 / forward.cu:424-676)."""
-        return ((metrics["tile_overflow"] > 0
-                 and self.tile_cap < self.tile_cap_limit)
+        lossy: rasterizer_impl.cu:311 / forward.cu:424-676). A tile
+        overflow at the dense VMEM ceiling is still recoverable while
+        the flat-stream fallback is available."""
+        tile_fixable = (self.tile_cap < self.tile_cap_limit
+                        or (not self.flat_stream
+                            and self._flat_fallback_ok))
+        return ((metrics["tile_overflow"] > 0 and tile_fixable)
                 or (metrics["dup_overflow"] > 0
                     and self.dup_factor < self.dup_factor_limit))
 
@@ -448,22 +511,37 @@ class Trainer:
         self._pending = []
         while True:
             grew = []
-            if (metrics["tile_overflow"] > 0
-                    and self.tile_cap < self.tile_cap_limit):
-                # Size to the measured need (the reference allocates
-                # exactly, rasterizer_impl.cu:311) instead of doubling:
-                # a doubling overshoot sits inside the shrink hysteresis
-                # band and is never reclaimed. tile_max is the pre-clip
-                # deepest tile, valid unless the duplicate list itself
-                # clipped — in that case the next replay iteration
-                # remeasures with the grown duplicate capacity.
-                self.tile_cap = min(
-                    max(self._tile_cap_need(int(metrics["tile_max"])),
-                        self.tile_cap + 128),
-                    self.tile_cap_limit,
-                )
-                grew.append(f"max_per_tile={self.tile_cap} (dropped "
-                            f"{int(metrics['tile_overflow'])} instances)")
+            if metrics["tile_overflow"] > 0:
+                if self.tile_cap < self.tile_cap_limit:
+                    # Size to the measured need (the reference allocates
+                    # exactly, rasterizer_impl.cu:311) instead of
+                    # doubling: a doubling overshoot sits inside the
+                    # shrink hysteresis band and is never reclaimed.
+                    # tile_max is the pre-clip deepest tile, valid
+                    # unless the duplicate list itself clipped — then
+                    # the next replay iteration remeasures with the
+                    # grown duplicate capacity.
+                    self.tile_cap = min(
+                        max(self._tile_cap_need(int(metrics["tile_max"])),
+                            self.tile_cap + 128),
+                        self.tile_cap_limit,
+                    )
+                    grew.append(f"max_per_tile={self.tile_cap} (dropped "
+                                f"{int(metrics['tile_overflow'])} instances)")
+                elif not self.flat_stream and self._flat_fallback_ok:
+                    # Dense tile cap exhausted (the VMEM-calibrated
+                    # ceiling): switch to the exact flat-stream
+                    # compositor instead of truncating — tile depth is
+                    # not a kernel dimension there, so the scene's
+                    # crowding cannot overflow it. Disengages via
+                    # occupancy tracking when the scene thins out.
+                    self.flat_stream = True
+                    self._flat_auto = True
+                    grew.append(
+                        f"flat_stream=True (deepest tile "
+                        f"{int(metrics['tile_max'])} exceeds the dense "
+                        f"VMEM ceiling {self.tile_cap_limit}; exact "
+                        f"stream fallback)")
             if (metrics["dup_overflow"] > 0
                     and self.dup_factor < self.dup_factor_limit):
                 self.dup_factor = min(
@@ -483,11 +561,13 @@ class Trainer:
                     config_color=dataclasses.replace(
                         r["static"].config_color,
                         max_per_tile=self.tile_cap,
-                        dup_factor=self.dup_factor),
+                        dup_factor=self.dup_factor,
+                        flat_stream=self.flat_stream),
                     config_tof=dataclasses.replace(
                         r["static"].config_tof,
                         max_per_tile=self.tile_cap,
-                        dup_factor=self.dup_factor),
+                        dup_factor=self.dup_factor,
+                        flat_stream=self.flat_stream),
                 )
                 self._dispatch(r["it"], r["idx"], static)
             rec = self._pending.pop(0)
@@ -642,6 +722,9 @@ class Trainer:
                 # otherwise re-discover them via an overflow replay).
                 "tile_cap": self.tile_cap,
                 "dup_factor": self.dup_factor,
+                # So does an auto-engaged flat-stream fallback.
+                "flat_stream": self.flat_stream,
+                "flat_auto": self._flat_auto,
             },
         )
 
@@ -667,4 +750,12 @@ class Trainer:
                             self.tile_cap_limit)
         self.dup_factor = min(int(meta.get("dup_factor", self.dup_factor)),
                               self.dup_factor_limit)
+        # An auto-engaged flat fallback resumes engaged (only honored
+        # where the fallback is available: the flag would otherwise
+        # select a Pallas path on a CPU resume, where rasterize()
+        # ignores it anyway).
+        if meta.get("flat_stream") and (self._flat_fallback_ok
+                                        or self.cfg.tpu.flat_stream):
+            self.flat_stream = True
+            self._flat_auto = bool(meta.get("flat_auto", False))
         self._update_deform_bucket()

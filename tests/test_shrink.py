@@ -17,6 +17,10 @@ def make_trainer(tile_cap=2048, dup_factor=24, render_bucket=0,
     t.cfg = types.SimpleNamespace(
         tpu=types.SimpleNamespace(flat_stream=flat_stream)
     )
+    t.flat_stream = flat_stream
+    t._flat_auto = False
+    t._flat_fallback_ok = False
+    t.tile_cap_limit = max(tile_cap, 16384)
     t.shrink_window = window
     t.tile_cap_floor = 256
     t.dup_factor_floor = 2

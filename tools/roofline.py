@@ -131,7 +131,8 @@ def main():
     if args.measured_ms:
         print(f"\nmeasured step: {args.measured_ms:.2f} ms -> "
               f"{total_light / args.measured_ms:.1%} of light speed; "
-              f"MFU {total_gflop / 1e3 / (PEAK_BF16 / 1e12 * args.measured_ms):.2%}"
+              # measured_ms is milliseconds: GFLOP / (GFLOP/s * s)
+              f"MFU {total_gflop / (PEAK_BF16 / 1e9 * args.measured_ms / 1e3):.2%}"
               )
     print(json.dumps({
         "light_ms": round(total_light, 3),

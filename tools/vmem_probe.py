@@ -5,92 +5,107 @@ budget model in pallas_composite._bwd_pref mispredicted: at
 (pix=256, CL=128, L=6016) the compiler measured 16.62MB where the model
 said ~9.5MB (campaign crash 2026-08-20, aroom iter 3859).
 
-For each (tile_h, tile_w, chunk) this lowers+compiles the backward
-pallas_call at increasing L and reports the measured scoped-VMEM size
-parsed from the compiler (success prints the boundary; failures carry
-the size in the error text). Results feed the _bwd_pref budget table.
+For each (tile_h, tile_w, chunk, gates) this lowers+compiles the
+backward pallas_call at increasing L and reports the measured
+scoped-VMEM size parsed from the compiler (success prints the boundary;
+failures carry the size in the error text). Results feed the
+pallas_composite._BWD_CAP_CALIBRATED table, keyed
+(tile_pixels, need_dd, need_distribution).
 
-Usage: python tools/vmem_probe.py [--tile 16x16] [--chunk 128] \
-           [--Ls 4096,4608,5120,5632,6016]
+Allocation is NON-monotonic in L, so a calibration entry requires the
+exhaustive `--sweep` (every 128-multiple up to the boundary), not a
+single boundary probe. The grid defaults to the realistic tile count
+for the tile shape (tiny grids under-measure: scoped VMEM grows with
+Mosaic's grid multi-buffering).
+
+Usage:
+  python tools/vmem_probe.py --tile 16x32 --gates none \
+      --Ls 1280,1408,...          # probe specific depths
+  python tools/vmem_probe.py --tile 16x32 --gates none --sweep 4096
+                                  # every 128-multiple 128..4096
+  python tools/vmem_probe.py --check   # verify the shipped table
+                                  # against the current compiler
 """
 
 from __future__ import annotations
 
 import argparse
-import functools
 import os
-import re
 import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-import jax
-import jax.numpy as jnp
-from jax.experimental import pallas as pl
-from jax.experimental.pallas import tpu as pltpu
 
-from gftorf_tpu.render.pallas_composite import _backward_kernel
-from gftorf_tpu.render.settings import RasterConfig
-
-
-def try_compile(tile_h: int, tile_w: int, chunk: int, L: int, T: int = 4):
-    """Returns (ok, vmem_mb or None, message)."""
-    pix = tile_h * tile_w
-    config = RasterConfig(height=tile_h * 2, width=tile_w * 2,
-                          tile_h=tile_h, tile_w=tile_w, max_per_tile=L)
-    kernel = functools.partial(_backward_kernel, config=config, chunk=chunk,
-                               has_flow=True)
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,
-        grid=(T,),
-        in_specs=[
-            pl.BlockSpec((1, L, 24), lambda t, c, o: (t, 0, 0)),
-            pl.BlockSpec((1, pix, 12), lambda t, c, o: (t, 0, 0)),
-            pl.BlockSpec((1, pix, 32), lambda t, c, o: (t, 0, 0)),
-            pl.BlockSpec((1, pix, 32), lambda t, c, o: (t, 0, 0)),
-        ],
-        out_specs=[pl.BlockSpec((1, L, 24), lambda t, c, o: (t, 0, 0))],
-    )
-
-    def fn(counts, origins, feat, bg, out, g):
-        (dfeat,) = pl.pallas_call(
-            kernel,
-            grid_spec=grid_spec,
-            out_shape=[jax.ShapeDtypeStruct((T, L, 24), jnp.float32)],
-        )(counts, origins, feat, bg, out, g)
-        return dfeat
-
-    args = (
-        jax.ShapeDtypeStruct((T,), jnp.int32),
-        jax.ShapeDtypeStruct((T, 2), jnp.int32),
-        jax.ShapeDtypeStruct((T, L, 24), jnp.float32),
-        jax.ShapeDtypeStruct((T, pix, 12), jnp.float32),
-        jax.ShapeDtypeStruct((T, pix, 32), jnp.float32),
-        jax.ShapeDtypeStruct((T, pix, 32), jnp.float32),
-    )
-    try:
-        jax.jit(fn).lower(*args).compile()
-        return True, None, "ok"
-    except Exception as e:  # noqa: BLE001 - compiler errors vary
-        msg = str(e)
-        m = re.search(r"size ([0-9.]+)M and limit ([0-9.]+)M", msg)
-        mb = float(m.group(1)) if m else None
-        return False, mb, msg.splitlines()[0][:200]
+GATES = {
+    "all": (True, True),
+    "dd": (True, False),
+    "dist": (False, True),
+    "none": (False, False),
+}
 
 
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--tile", default="16x16")
     ap.add_argument("--chunk", type=int, default=128)
+    ap.add_argument("--grid", type=int, default=0,
+                    help="probe grid size (0 = realistic tile count "
+                         "for a 320x240 image)")
+    ap.add_argument("--gates", default="all", choices=sorted(GATES),
+                    help="channel gates: all = need_dd+need_distribution "
+                         "(eval/debug worst case), dd = dd only (train "
+                         "step inside a dd window), none = train-step "
+                         "defaults")
     ap.add_argument("--Ls", default="4096,4608,5120,5632,6016")
+    ap.add_argument("--sweep", type=int, default=0, metavar="LMAX",
+                    help="probe EVERY 128-multiple from 128 to LMAX "
+                         "(the calibration-grade protocol)")
+    ap.add_argument("--check", action="store_true",
+                    help="verify every _BWD_CAP_CALIBRATED entry "
+                         "compiles with the current toolchain (exit 1 "
+                         "on a stale entry)")
     args = ap.parse_args()
+
+    from gftorf_tpu.render.vmem_check import realistic_grid, try_compile_bwd
+
+    if args.check:
+        from gftorf_tpu.render.pallas_composite import _BWD_CAP_CALIBRATED
+
+        stale = []
+        for (pix, dd, dist), cap in sorted(_BWD_CAP_CALIBRATED.items()):
+            # table keys are tile_pixels; probe at the shapes we ship
+            th, tw = (16, pix // 16)
+            ok, mb, msg = try_compile_bwd(th, tw, args.chunk, cap,
+                                          T=args.grid, need_dd=dd,
+                                          need_distribution=dist)
+            size = f" vmem={mb}MB" if mb is not None else ""
+            print(f"check pix={pix} dd={dd} dist={dist} cap={cap}: "
+                  f"{'OK' if ok else 'STALE'}{size} "
+                  f"{'' if ok else msg[:120]}", flush=True)
+            if not ok:
+                stale.append((pix, dd, dist, cap))
+        if stale:
+            print(f"STALE ENTRIES: {stale} — re-run --sweep and update "
+                  "_BWD_CAP_CALIBRATED", flush=True)
+            sys.exit(1)
+        print("calibration table OK for this toolchain", flush=True)
+        return
+
     th, tw = (int(v) for v in args.tile.split("x"))
-    for L in (int(v) for v in args.Ls.split(",")):
-        ok, mb, msg = try_compile(th, tw, args.chunk, L)
+    dd, dist = GATES[args.gates]
+    if args.sweep:
+        Ls = list(range(128, args.sweep + 1, 128))
+    else:
+        Ls = [int(v) for v in args.Ls.split(",")]
+    T = args.grid or realistic_grid(th * tw)
+    for L in Ls:
+        ok, mb, msg = try_compile_bwd(th, tw, args.chunk, L, T=T,
+                                      need_dd=dd, need_distribution=dist)
         size = f" vmem={mb}MB" if mb is not None else ""
-        print(f"tile={th}x{tw} chunk={args.chunk} L={L}: "
-              f"{'OK' if ok else 'OVERFLOW'}{size}  {'' if ok else msg[:120]}",
-              flush=True)
+        print(f"tile={th}x{tw} chunk={args.chunk} grid={T} "
+              f"gates={args.gates} L={L}: "
+              f"{'OK' if ok else 'OVERFLOW'}{size}  "
+              f"{'' if ok else msg[:120]}", flush=True)
 
 
 if __name__ == "__main__":
