@@ -228,8 +228,16 @@ class TpuParams:
     dup_factor_floor: int = 2
     # MXU precision for the deform-MLP matmuls: "highest" (f32-equiv,
     # 6 bf16 passes — the reference's fp32 torch MLP), "high" (3),
-    # "default" (1). Lower tiers are a measured speed/accuracy knob.
-    deform_precision: str = "highest"
+    # "default" (1). Round-5 measurements at the bench workload:
+    # highest 72.3 ms/iter, high 69.3, default 62.3 — and the 20k
+    # defaults campaign (BENCHLOG round 5) validates "default" within
+    # the 0.2 dB acceptance band, so the single-pass MXU tier ships.
+    # The MLP's own near-zero-init heads + LayerNorm-free design keep
+    # activations O(1), where one bf16 pass carries ~3 significant
+    # digits — enough for a deformation field supervised through a
+    # rasterizer; raise to "highest" to reproduce the reference's fp32
+    # MLP bit-for-bit behavior.
+    deform_precision: str = "default"
     # Compositing tile shape. The reference is pinned at 16x16 (config.h
     # BLOCK_X/Y); on TPU wider tiles are a measured win (16x32: 97 -> 85
     # ms/iter on the benchmark workload) because per-pixel evaluation is

@@ -468,6 +468,19 @@ def composite_backward_flat(feat_fl, bg_tiles, out_res, g, chunk_tile,
                             interpret: bool = False, has_flow: bool = True):
     K_pad = feat_fl.shape[0]
     pix = config.tile_pixels
+    if pix > 512:
+        # Measured against the real v5e compiler (2026-08-20): the
+        # backward's (PIX, CL) temporaries need 17.52MB scoped VMEM at
+        # pix=1024 even at the minimum CL=128 (lane width), 1.52MB over
+        # the 16MB stack — infeasible without splitting a tile's pixel
+        # block across grid steps. Same structural bound as the dense
+        # backward (_bwd_pref); scope note: flat-stream differentiated
+        # renders support tiles of <= 512 pixels.
+        raise ValueError(
+            f"tile_pixels={pix} exceeds the flat-stream backward "
+            "kernel's scoped-VMEM budget (max 512 pixels/tile, e.g. "
+            "16x32); forward-only flat renders are unaffected"
+        )
     chunk = _flat_chunk(FLAT_BWD_CHUNK, pix)
     nc = K_pad // chunk
     ct = _chunk_tiles_for(chunk_tile, chunk, K_pad)

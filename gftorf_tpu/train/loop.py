@@ -262,7 +262,8 @@ class Trainer:
                                       flat_stream=self.flat_stream)
         return cfg
 
-    def _static_for(self, iteration: int) -> StepStatic:
+    def _static_for(self, iteration: int,
+                    flow_frame: Optional[bool] = None) -> StepStatic:
         m, opt = self.cfg.model, self.opt
         dynamic_on = m.dynamic and iteration > opt.warm_up
         regions = self.render_regions
@@ -312,6 +313,14 @@ class Trainer:
             mlp_reg_on=opt.lambda_mlp_reg != 0.0,
             flow_on=(self.scene.scene_type == "ftorf"
                      and opt.lambda_flow != 0.0 and dynamic_on),
+            # Static only when the step actually reads it (otherwise a
+            # spurious second compile variant) — see StepStatic docs.
+            flow_frame=(
+                flow_frame
+                if (self.scene.scene_type == "ftorf"
+                    and opt.lambda_flow != 0.0 and dynamic_on)
+                else None
+            ),
             optimize_phase_offset=opt.optimize_phase_offset,
             optimize_dc_offset=opt.optimize_dc_offset,
             random_bg=m.random_bg_color,
@@ -629,13 +638,16 @@ class Trainer:
         if it % 1000 == 0 and self.active_sh_degree < m.sh_degree:
             self.active_sh_degree += 1
 
-        static = self._static_for(it)
         if self.data_ax > 1:
             idx = np.array(
                 [self._pick_camera() for _ in range(self.data_ax)], np.int32
             )
+            # DP batches mix flow/non-flow frames -> runtime gating.
+            static = self._static_for(it)
         else:
             idx = self._pick_camera()
+            fid = self.scene.data.train_cameras[idx].frame_id
+            static = self._static_for(it, flow_frame=bool(fid % 4 == 0))
         self._dispatch(it, idx, static)
 
         outs = []

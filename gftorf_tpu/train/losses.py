@@ -64,23 +64,30 @@ def ssim(img1, img2, window_size: int = 11):
     on TPU: ~100 ms fwd+bwd at 240x320 vs ~2 ms separable).
     """
     w1 = jnp.asarray(_gaussian_1d(window_size))
-    c = img1.shape[0]
-    kh = jnp.broadcast_to(w1[None, None, :, None], (c, 1, window_size, 1))
-    kw = jnp.broadcast_to(w1[None, None, None, :], (c, 1, 1, window_size))
     pad = window_size // 2
+    _, h, w = img1.shape
+
+    # Banded convolution matrices: y = Wh @ x @ Ww^T computes the same
+    # separable zero-padded window sums as the depthwise convs, but as
+    # two dense matmuls — the grouped 1-D convs lower to ~1 ms each on
+    # TPU (x10 fwd + backward made SSIM ~9 ms of the training step,
+    # round-5 profile) while the banded matmuls ride the MXU (the
+    # wasted off-band zeros are free at these sizes).
+    def band(n):
+        idx = jnp.arange(n)
+        off = idx[:, None] - idx[None, :] + pad  # (out, in) tap index
+        taps = jnp.where((off >= 0) & (off < window_size), off, 0)
+        return jnp.where(
+            (off >= 0) & (off < window_size), w1[taps], 0.0
+        )
+
+    bh, bw = band(h), band(w)
 
     def conv(x):
-        y = jax.lax.conv_general_dilated(
-            x[None], kh, (1, 1), [(pad, pad), (0, 0)],
-            feature_group_count=c,
-            precision=jax.lax.Precision.HIGHEST,
-        )
-        y = jax.lax.conv_general_dilated(
-            y, kw, (1, 1), [(0, 0), (pad, pad)],
-            feature_group_count=c,
-            precision=jax.lax.Precision.HIGHEST,
-        )
-        return y[0]
+        y = jnp.einsum("ij,cjw->ciw", bh, x,
+                       precision=jax.lax.Precision.HIGHEST)
+        return jnp.einsum("kw,ciw->cik", bw, y,
+                          precision=jax.lax.Precision.HIGHEST)
 
     mu1, mu2 = conv(img1), conv(img2)
     mu1_sq, mu2_sq, mu1_mu2 = mu1 * mu1, mu2 * mu2, mu1 * mu2

@@ -321,6 +321,15 @@ class StepStatic:
     # opt.optimize_sync_iters`): unlike the quad-loss sync branch this one
     # is NOT gated on use_quad/warm_up.
     deform_sync: bool = False
+    # Whether THIS step's camera is an integration frame (fid % 4 == 0,
+    # the only frames the reference's flow supervision touches,
+    # train.py:243-261). The host knows the picked camera, so the
+    # single-camera Trainer sets this statically: non-flow steps drop
+    # the flow channels/loss entirely and flow steps run the branch
+    # inline — no lax.cond (whose branch-boundary buffer copies cost
+    # ~6 ms/step, round-5 profile). None = gate at runtime (DP batches
+    # mix flow/non-flow frames; eval paths don't compute flow at all).
+    flow_frame: Optional[bool] = None
     # iteration >= densify_until_iter: the reference never calls
     # gaussians.optimizer.step() again (train.py:469-470) and stops
     # densification stats (train.py:441). Static so XLA drops the whole
@@ -698,12 +707,27 @@ def train_step(
                     0.0,
                 )
 
-            flow_precomp = jax.lax.cond(
-                frame.frame_id % 4 == 0,
-                flow_vectors,
-                lambda _: jnp.zeros((n_points, 6)),
-                operand=None,
-            )
+            if static.flow_frame is None:
+                # DP batch: frames in the batch may differ in
+                # flow-frame-ness — gate at runtime. The conditional's
+                # branch-boundary buffer copies cost ~6 ms/step
+                # (round-5 profile), which is why the single-camera
+                # path makes this static instead.
+                flow_precomp = jax.lax.cond(
+                    frame.frame_id % 4 == 0,
+                    flow_vectors,
+                    lambda _: jnp.zeros((n_points, 6)),
+                    operand=None,
+                )
+            elif static.flow_frame:
+                flow_precomp = flow_vectors(None)
+            else:
+                # Statically not an integration frame: skip the flow
+                # channels entirely (no extra deform eval, no fused
+                # flow columns in the compositor, no flow loss) — the
+                # reference's render_flow only ever runs on fid%4==0
+                # frames (train.py:243-261).
+                flow_precomp = None
         else:
             flow_precomp = None
 
@@ -839,7 +863,8 @@ def train_step(
 
         # Flow loss (train.py:243-261) on integration frames only, from
         # the fused flow channels of the main ToF rasterization.
-        if static.flow_on and static.dynamic_on:
+        if (static.flow_on and static.dynamic_on
+                and static.flow_frame is not False):
             def flow_branch(_):
                 k_tof = frame.intrinsics_tof
                 view_tof = frame.cam_tof.viewmatrix
@@ -866,12 +891,16 @@ def train_step(
                 )
                 return f_l2, b_l2
 
-            f_l2, b_l2 = jax.lax.cond(
-                frame.frame_id % 4 == 0,
-                flow_branch,
-                lambda _: (jnp.float32(0.0), jnp.float32(0.0)),
-                operand=None,
-            )
+            if static.flow_frame is None:
+                f_l2, b_l2 = jax.lax.cond(
+                    frame.frame_id % 4 == 0,
+                    flow_branch,
+                    lambda _: (jnp.float32(0.0), jnp.float32(0.0)),
+                    operand=None,
+                )
+            else:  # statically an integration frame (True handled here;
+                # False skipped this whole block above)
+                f_l2, b_l2 = flow_branch(None)
             total += weights.flow * (f_l2 + b_l2)
             # flow fires before its weight window opens (the gate is a
             # traced weight, not a recompile) — keep the log clean.
