@@ -33,6 +33,7 @@ from gftorf_tpu.models.gaussians import (
     grow_capacity,
     reset_opacity_state,
     prune_only,
+    sort_layout,
 )
 from gftorf_tpu.train.step import (
     METRIC_NAMES,
@@ -52,6 +53,9 @@ def _densify_step(state, key, hyper: DensifyHyper, max_screen_size: float,
 @functools.partial(jax.jit, static_argnums=(2,))
 def _reset_opacity_step(state, mask, use_mask: bool):
     return reset_opacity_state(state, mask if use_mask else None)
+
+
+_sort_layout_step = jax.jit(sort_layout)
 
 
 class Trainer:
@@ -93,7 +97,13 @@ class Trainer:
                 print(f"[warn] scene metadata/bounds write failed: {e}",
                       flush=True)
 
-        self.model = self.scene.model_state
+        # Layout invariant for slice-based compaction
+        # (StepStatic.compact_layout): rows sorted
+        # [dynamic+alive | static+alive | dead], re-established at every
+        # event that changes the alive/motion partition (densify, prune,
+        # checkpoint restore). grow_capacity appends dead rows and
+        # preserves it.
+        self.model = _sort_layout_step(self.scene.model_state)
         self.deform_cfg = DeformConfig(
             depth=m.D, width=m.W, xyz_multires=m.xyz_multires,
             t_multires=m.t_multires, sh_degree=m.sh_degree,
@@ -341,6 +351,7 @@ class Trainer:
             mesh_shape=self.mesh_shape,
             deform_bucket=self.deform_bucket,
             render_bucket=self.render_bucket,
+            compact_layout=True,
             deform_clip=self.cfg.tpu.deform_clip,
         )
 
@@ -664,7 +675,8 @@ class Trainer:
         elif (self.opt.use_opacity_entropy_loss
               and it % opt.densification_interval == 0):
             outs += self.drain()
-            self.model = prune_only(self.model, opt.min_opacity)
+            self.model = _sort_layout_step(
+                prune_only(self.model, opt.min_opacity))
             self._update_deform_bucket()
 
         # tof_iters event (train.py:476-478)
@@ -691,7 +703,7 @@ class Trainer:
                 jnp.float32(self.scene.scene_extent),
             )
             if int(dropped) == 0:
-                self.model = new_state
+                self.model = _sort_layout_step(new_state)
                 self._update_deform_bucket()
                 return
             # Grow capacity and replay (deterministic given the same key).
@@ -702,7 +714,7 @@ class Trainer:
         print(f"[iter {self.iteration}] densification still dropping "
               f"{int(dropped)} points after 4 capacity growths — "
               "accepting truncated densify", flush=True)
-        self.model = new_state
+        self.model = _sort_layout_step(new_state)
         self._update_deform_bucket()
 
     def _reset_opacity(self):
@@ -770,4 +782,6 @@ class Trainer:
                                         or self.cfg.tpu.flat_stream):
             self.flat_stream = True
             self._flat_auto = bool(meta.get("flat_auto", False))
+        # Checkpoints may predate the sorted-layout invariant.
+        self.model = _sort_layout_step(self.model)
         self._update_deform_bucket()

@@ -330,6 +330,15 @@ class StepStatic:
     # ~6 ms/step, round-5 profile). None = gate at runtime (DP batches
     # mix flow/non-flow frames; eval paths don't compute flow at all).
     flow_frame: Optional[bool] = None
+    # The Trainer maintains the [dynamic+alive | static+alive | dead]
+    # row layout (models.gaussians.sort_layout, re-sorted at every
+    # densify/prune/restore event). When set, the render and deform
+    # compactions become static slices + zero-pads instead of
+    # gather/scatter pairs — the capacity-linear gathers and their
+    # backward scatter-adds were the dominant step cost at 100k points
+    # (round-5 profile). Off (default) = the order-independent gather
+    # path (direct train_step users, unsorted states).
+    compact_layout: bool = False
     # iteration >= densify_until_iter: the reference never calls
     # gaussians.optimizer.step() again (train.py:469-470) and stops
     # densification stats (train.py:441). Static so XLA drops the whole
@@ -446,6 +455,23 @@ def _deform_slots(static: StepStatic, params, alive):
     if not b or b >= n or alive is None:
         return xyz_n, (lambda d: d)
     mask = get_motion_mask(params) & alive
+    if static.compact_layout:
+        # Sorted layout: the dynamic+alive rows are exactly [0, n_dyn)
+        # with n_dyn <= b, so the bucket is a static slice. Rows in
+        # [n_dyn, b) are static/dead — the MLP evaluates them (same
+        # wasted-lane budget as the gather path's fill rows) and the
+        # mask select below zeroes their outputs, which the gather
+        # path's scatter achieved by never writing them.
+        rows = xyz_n[:b]
+
+        def expand(d_b):
+            out = jnp.concatenate([
+                d_b, jnp.zeros((n - b,) + d_b.shape[1:], d_b.dtype)
+            ])
+            keep = mask.reshape((n,) + (1,) * (d_b.ndim - 1))
+            return jnp.where(keep, out, 0.0)
+
+        return rows, expand
     (idx,) = jnp.where(mask, size=b, fill_value=n)
     rows = xyz_n[jnp.minimum(idx, n - 1)]
 
@@ -740,7 +766,38 @@ def train_step(
         # so outputs, gradients and densify stats are bit-compatible
         # with the uncompacted program.
         compact_overflow = jnp.int32(0)
-        if static.render_bucket and static.render_bucket < n_points:
+        if (static.render_bucket and static.render_bucket < n_points
+                and static.compact_layout):
+            # Sorted layout (StepStatic.compact_layout): alive rows are
+            # exactly [0, n_alive) with n_alive <= bucket, so the
+            # compaction is a static slice — no gather, and its
+            # backward is a zero-pad instead of a scatter-add. Rows in
+            # [n_alive, B) are dead/excluded: opac_inc is 0 there, the
+            # zero-opacity cull keeps them out of binning, and rexpand
+            # pads exact zeros — the same bit-compat argument as the
+            # gather path's fill rows. Included rows beyond the slice
+            # (layout violation or stale bucket) are counted as
+            # compact_overflow, which the Trainer turns into a hard
+            # error.
+            B = static.render_bucket
+            compact_overflow = (
+                jnp.sum(include) - jnp.sum(include[:B])
+            ).astype(jnp.int32)
+
+            def rgather(x):
+                return x[:B]
+
+            r_means3d, r_scales, r_rots = map(rgather, (means3d, scales, rots))
+            r_opac = rgather(opac_inc)
+            r_shs, r_shs_p = rgather(shs), rgather(shs_p)
+            r_means2d = rgather(means2d_zero)
+            r_flow = None if flow_precomp is None else rgather(flow_precomp)
+
+            def rexpand(v):  # per-Gaussian render outputs -> capacity rows
+                return jnp.concatenate([
+                    v, jnp.zeros((n_points - B,) + v.shape[1:], v.dtype)
+                ])
+        elif static.render_bucket and static.render_bucket < n_points:
             (rend_rows,) = jnp.where(
                 include, size=static.render_bucket, fill_value=n_points
             )

@@ -256,3 +256,49 @@ class TestOpacityOps:
         st = st._replace(params=st.params._replace(opacity=op))
         new = prune_only(st, 0.01)
         assert int(new.aux.alive.sum()) == 6
+
+
+def test_sort_layout_partitions_and_preserves():
+    """sort_layout: rows become [dynamic+alive | static+alive | dead],
+    the multiset of live points is unchanged (params+aux+adam move
+    together), and sorting a sorted state is the identity."""
+    import jax
+
+    from gftorf_tpu.models.gaussians import (
+        get_motion_mask,
+        sort_layout,
+    )
+
+    state = make_state(n=64, capacity=64)
+    # scatter alive + motion arbitrarily
+    alive = jnp.zeros((64,), bool).at[jnp.arange(3, 60, 4)].set(True)
+    seg = state.params.seg_color.at[::3, 0].set(1.0)
+    state = state._replace(
+        params=state.params._replace(seg_color=seg),
+        aux=state.aux._replace(alive=alive),
+    )
+    # tag Adam moments so row movement is observable
+    mu = state.adam.mu._replace(
+        xyz=jnp.arange(64, dtype=jnp.float32)[:, None].repeat(3, 1))
+    state = state._replace(adam=state.adam._replace(mu=mu))
+
+    s = sort_layout(state)
+    motion = np.asarray(get_motion_mask(s.params))
+    al = np.asarray(s.aux.alive)
+    n_dyn = int((al & motion).sum())
+    n_alive = int(al.sum())
+    assert al[:n_alive].all() and not al[n_alive:].any()
+    assert motion[:n_dyn].all() or n_dyn == 0
+    assert not (al[n_dyn:n_alive] & motion[n_dyn:n_alive]).any()
+
+    # multiset preservation: (xyz, mu.xyz) pairs identical up to order
+    def rows(st):
+        return sorted(map(tuple, np.c_[np.asarray(st.params.xyz),
+                                       np.asarray(st.adam.mu.xyz),
+                                       np.asarray(st.aux.alive)].tolist()))
+
+    assert rows(s) == rows(state)
+
+    s2 = sort_layout(s)
+    for a, b in zip(jax.tree.leaves(s), jax.tree.leaves(s2)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))

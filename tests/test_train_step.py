@@ -507,3 +507,112 @@ def test_render_compaction_matches_uncompacted(scene_type):
             np.asarray(a), np.asarray(b), atol=1e-6, rtol=1e-4,
             err_msg=f"leaf {name} diverged between compacted/uncompacted",
         )
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("scene_type", ["torf", "ftorf"])
+def test_compact_layout_slices_match_uncompacted(scene_type):
+    """Sorted-layout slice compaction (StepStatic.compact_layout): on a
+    state obeying the [dynamic+alive | static+alive | dead] row order
+    the slice/pad paths (render bucket AND deform bucket) must
+    reproduce the uncompacted program exactly — outputs, gradients,
+    Adam updates and densification stats."""
+    key = jax.random.PRNGKey(2)
+    sc = make_scene(key, num_points=128, width=48, height=32)
+    n = 128
+    bg0 = jnp.zeros((7, sc.config.height, sc.config.width))
+    target = rasterize(
+        sc.means3d, sc.scales, sc.rotations, sc.opacities, sc.shs, sc.shs_p,
+        0.0, 0.0, jnp.zeros((n, 2)), bg0, camera=sc.camera, config=sc.config,
+    )
+    frame = build_frame(sc, target.color, target.phasor[:3])
+    if scene_type == "ftorf":
+        h, w = sc.config.height, sc.config.width
+        fk = jax.random.fold_in(key, 99)
+        frame = frame._replace(
+            frame_id=jnp.int32(4),
+            gt_quad=jax.random.uniform(fk, (4, h, w)),
+            forward_flow=jax.random.normal(jax.random.fold_in(fk, 1),
+                                           (2, h, w)),
+            backward_flow=jax.random.normal(jax.random.fold_in(fk, 2),
+                                            (2, h, w)),
+            has_forward_flow=jnp.asarray(True),
+            has_backward_flow=jnp.asarray(True),
+        )
+    params = params_from_scene(sc, jitter=0.05, key=jax.random.fold_in(key, 5))
+    # SORTED layout: rows [0, 60) dynamic+alive, [60, 98) static+alive,
+    # [98, 128) dead (with stale in-frustum geometry the zero-opacity
+    # cull must keep out of the tile lanes).
+    seg = jnp.zeros_like(params.seg_color).at[:60, 0].set(1.0)
+    params = params._replace(seg_color=seg)
+    alive = jnp.arange(n) < 98
+    zeros = jax.tree.map(jnp.zeros_like, params)
+    model = GaussianModelState(
+        params=params,
+        aux=GaussianAux(
+            alive=alive,
+            max_radii2d=jnp.zeros((n,)),
+            xyz_grad_accum=jnp.zeros((n,)),
+            denom=jnp.zeros((n,)),
+        ),
+        adam=AdamState(mu=zeros, nu=zeros, step=jnp.int32(0)),
+    )
+    deform_cfg = DeformConfig(depth=2, width=32, sh_degree=3)
+    deform = init_deform(jax.random.fold_in(key, 7), deform_cfg)
+    deform_adam = AdamState(
+        mu=jax.tree.map(jnp.zeros_like, deform),
+        nu=jax.tree.map(jnp.zeros_like, deform),
+        step=jnp.int32(0),
+    )
+    ftorf = scene_type == "ftorf"
+    base = StepStatic(
+        scene_type=scene_type, config_color=sc.config, config_tof=sc.config,
+        deform=deform_cfg, active_sh_degree=3,
+        total_num_views=12 if ftorf else 2,
+        render_regions=("static", "dynamic"), dynamic_on=True,
+        sync_phase=False, use_quad=ftorf, use_wl1c=False, use_wl1p=False,
+        wl1p_e=0.1, num_phasor_channels=2, color_on=True, depth_on=False,
+        dd_on=True, oe_on=True, scale_on=True, mlp_reg_on=True,
+        flow_on=ftorf, optimize_phase_offset=False, optimize_dc_offset=False,
+        random_bg=True, scene_extent=5.0, single_camera=ftorf,
+    )
+    opt = OptimizationParams()
+    opt.lambda_dd = 0.01
+    opt.dd_loss_iter_end = 10_000
+    opt.use_opacity_entropy_loss = True
+    opt.use_scale_loss = True
+    opt.lambda_mlp_reg = 0.01
+    base = dataclasses.replace(
+        base, sched=SchedStatic.from_opt(opt, 1.0, opt.opacity_reset_interval)
+    )
+    frames = stack1(frame)
+
+    ref = train_step(base, model, deform, deform_adam, frames,
+                     jnp.int32(0), jnp.int32(3001), key)
+    sliced = train_step(
+        dataclasses.replace(base, compact_layout=True, render_bucket=112,
+                            deform_bucket=64),
+        model, deform, deform_adam, frames,
+        jnp.int32(0), jnp.int32(3001), key,
+    )
+    for a, b, name in zip(jax.tree.leaves(ref), jax.tree.leaves(sliced),
+                          range(10**6)):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=1e-6, rtol=1e-4,
+            err_msg=f"leaf {name} diverged between slice/uncompacted",
+        )
+    # the slice path reports zero compaction overflow on a valid layout
+    m = dict(zip(METRIC_NAMES, np.asarray(sliced[3])))
+    assert m["compact_overflow"] == 0
+
+    # An alive row beyond the bucket (layout violation) must be counted.
+    bad_alive = alive.at[120].set(True)
+    bad_model = model._replace(aux=model.aux._replace(alive=bad_alive))
+    out_bad = train_step(
+        dataclasses.replace(base, compact_layout=True, render_bucket=112,
+                            deform_bucket=64),
+        bad_model, deform, deform_adam, frames,
+        jnp.int32(0), jnp.int32(3001), key,
+    )
+    mb = dict(zip(METRIC_NAMES, np.asarray(out_bad[3])))
+    assert mb["compact_overflow"] > 0

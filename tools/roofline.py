@@ -49,7 +49,7 @@ def stage(name, flops, bytes_, peak=PEAK_VPU):
 
 
 def model(P, rendered, dyn, W, H, tile_h, tile_w, flat, deform_w=256,
-          deform_d=8, t_samples=2, n_cams=1):
+          deform_d=8, t_samples=2, n_cams=1, deform_bf16=True):
     pix = tile_h * tile_w
     T = math.ceil(W / tile_w) * math.ceil(H / tile_h)
     if flat:
@@ -94,7 +94,7 @@ def model(P, rendered, dyn, W, H, tile_h, tile_w, flat, deform_w=256,
     mlp_flops = dyn * t_samples * (deform_d * 2 * deform_w * deform_w) * 3
     stages.append(stage("deform MLP", mlp_flops,
                         dyn * t_samples * deform_w * 8,
-                        PEAK_F32_HIGHEST))
+                        PEAK_BF16 if deform_bf16 else PEAK_F32_HIGHEST))
     # SSIM (11x11 separable? reference uses full 11x11 conv, 3ch) f+b.
     stages.append(stage("ssim convs", W * H * 3 * 121 * 2 * 3,
                         W * H * 3 * 4 * 8))
