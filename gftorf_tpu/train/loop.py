@@ -140,8 +140,7 @@ class Trainer:
             and jax.default_backend() == "tpu"
             and getattr(cfg.tpu, "tile_overflow_fallback", "flat") == "flat"
         )
-        if (cfg.tpu.use_pallas and not self.flat_stream
-                and jax.default_backend() == "tpu"):
+        if cfg.tpu.use_pallas and jax.default_backend() == "tpu":
             # The DENSE Pallas backward kernel's scoped-VMEM budget
             # bounds the tile depth for a given tile shape
             # (pallas_composite.py _bwd_pref); clamp the grow-and-replay
@@ -163,7 +162,12 @@ class Trainer:
             feas = max_feasible_tile_cap(
                 cfg.tpu.tile_h * cfg.tpu.tile_w,
                 need_dd=dd_possible, need_distribution=False)
-            if self.tile_cap > feas:
+            # The clamp applies even when flat_stream is configured on:
+            # an auto-engaged flat fallback restored from a checkpoint
+            # can later DISENGAGE to the dense kernels, and the
+            # grow-and-replay ceiling must already be dense-feasible
+            # then (growing past it raises mid-training).
+            if self.tile_cap > feas and not self.flat_stream:
                 raise ValueError(
                     f"max_per_tile={self.tile_cap} infeasible for "
                     f"{cfg.tpu.tile_h}x{cfg.tpu.tile_w} tiles (backward "
@@ -781,7 +785,11 @@ class Trainer:
         if meta.get("flat_stream") and (self._flat_fallback_ok
                                         or self.cfg.tpu.flat_stream):
             self.flat_stream = True
-            self._flat_auto = bool(meta.get("flat_auto", False))
+            # Only an AUTO-engaged fallback may auto-disengage; a run
+            # configured flat_stream=true stays flat regardless of what
+            # the checkpointing run did.
+            self._flat_auto = (bool(meta.get("flat_auto", False))
+                               and not self.cfg.tpu.flat_stream)
         # Checkpoints may predate the sorted-layout invariant.
         self.model = _sort_layout_step(self.model)
         self._update_deform_bucket()

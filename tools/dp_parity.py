@@ -103,10 +103,15 @@ def main():
 
     kw = dict(width=args.width, height=args.height, points=args.points,
               frames=args.frames)
+    os.makedirs(os.path.dirname(args.out) or ".", exist_ok=True)
     c11 = run(1, 1, src, os.path.join(args.tmp, "m11"), args.iters,
               args.eval_every, **kw)
+    # checkpoint each arm's curve as it lands (a 4-core host takes hours
+    # per arm; a crash or round-end must not lose the finished arm)
+    json.dump(c11, open(args.out + ".c11.json", "w"))
     c24 = run(2, 4, src, os.path.join(args.tmp, "m24"), args.iters,
               args.eval_every, **kw)
+    json.dump(c24, open(args.out + ".c24.json", "w"))
 
     fa, fb = c11[-1], c24[-1]
     dpsnr = fb["psnr_p"] - fa["psnr_p"]
