@@ -355,7 +355,12 @@ class Trainer:
             mesh_shape=self.mesh_shape,
             deform_bucket=self.deform_bucket,
             render_bucket=self.render_bucket,
-            compact_layout=True,
+            # GFTORF_COMPACT_LAYOUT=0: A/B escape hatch back to the
+            # round-4 gather/scatter bucket path (the sorted-layout
+            # invariant still holds; only the slice-based consumption
+            # is disabled).
+            compact_layout=(
+                os.environ.get("GFTORF_COMPACT_LAYOUT", "1") != "0"),
             deform_clip=self.cfg.tpu.deform_clip,
         )
 
@@ -662,7 +667,12 @@ class Trainer:
         else:
             idx = self._pick_camera()
             fid = self.scene.data.train_cameras[idx].frame_id
-            static = self._static_for(it, flow_frame=bool(fid % 4 == 0))
+            # GFTORF_STATIC_FLOW=0: A/B escape hatch back to the
+            # runtime (lax.cond) flow gating of round 4.
+            if os.environ.get("GFTORF_STATIC_FLOW", "1") == "0":
+                static = self._static_for(it)
+            else:
+                static = self._static_for(it, flow_frame=bool(fid % 4 == 0))
         self._dispatch(it, idx, static)
 
         outs = []

@@ -8,10 +8,17 @@ convolution with same-padding, matching the torch implementation
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
 import numpy as np
+
+# A/B escape hatch for the round-5 banded-matmul SSIM (identical
+# zero-padded semantics; this knob exists to attribute training-curve
+# differences, not because the implementations disagree — both are
+# golden-tested against torch).
+_SSIM_IMPL = os.environ.get("GFTORF_SSIM_IMPL", "banded")
 
 
 def l1_loss(pred, gt):
@@ -67,6 +74,29 @@ def ssim(img1, img2, window_size: int = 11):
     pad = window_size // 2
     _, h, w = img1.shape
 
+    if _SSIM_IMPL == "conv":
+        # Pre-round-5 lowering: two 1-D depthwise convolutions.
+        c = img1.shape[0]
+        kh = jnp.broadcast_to(w1[None, None, :, None],
+                              (c, 1, window_size, 1))
+        kw = jnp.broadcast_to(w1[None, None, None, :],
+                              (c, 1, 1, window_size))
+
+        def conv(x):
+            y = jax.lax.conv_general_dilated(
+                x[None], kh, (1, 1), [(pad, pad), (0, 0)],
+                feature_group_count=c,
+                precision=jax.lax.Precision.HIGHEST,
+            )
+            y = jax.lax.conv_general_dilated(
+                y, kw, (1, 1), [(0, 0), (pad, pad)],
+                feature_group_count=c,
+                precision=jax.lax.Precision.HIGHEST,
+            )
+            return y[0]
+
+        return _ssim_from_window_sums(img1, img2, conv)
+
     # Banded convolution matrices: y = Wh @ x @ Ww^T computes the same
     # separable zero-padded window sums as the depthwise convs, but as
     # two dense matmuls — the grouped 1-D convs lower to ~1 ms each on
@@ -89,6 +119,10 @@ def ssim(img1, img2, window_size: int = 11):
         return jnp.einsum("kw,ciw->cik", bw, y,
                           precision=jax.lax.Precision.HIGHEST)
 
+    return _ssim_from_window_sums(img1, img2, conv)
+
+
+def _ssim_from_window_sums(img1, img2, conv):
     mu1, mu2 = conv(img1), conv(img2)
     mu1_sq, mu2_sq, mu1_mu2 = mu1 * mu1, mu2 * mu2, mu1 * mu2
     s1 = conv(img1 * img1) - mu1_sq
