@@ -140,6 +140,29 @@ def test_ssim_matches_torch():
     np.testing.assert_allclose(float(L.ssim(a, a)), 1.0, atol=1e-6)
 
 
+def test_ssim_conv_and_banded_impls_agree():
+    """The GFTORF_SSIM_IMPL A/B escape hatch (losses._SSIM_IMPL) must be
+    a pure lowering choice: both window-sum lowerings of the same
+    zero-padded separable Gaussian, agreeing to f32 rounding. Gradients
+    too — the knob exists to attribute training-curve differences, so
+    any real gradient gap would defeat its purpose."""
+    key = jax.random.PRNGKey(7)
+    a = jax.random.uniform(key, (4, 30, 40))
+    b = jnp.clip(a + 0.1 * jax.random.normal(jax.random.fold_in(key, 2),
+                                             (4, 30, 40)), 0, 1)
+    orig = L._SSIM_IMPL
+    try:
+        L._SSIM_IMPL = "banded"
+        v1, g1 = jax.value_and_grad(lambda x: L.ssim(x, b))(a)
+        L._SSIM_IMPL = "conv"
+        v2, g2 = jax.value_and_grad(lambda x: L.ssim(x, b))(a)
+    finally:
+        L._SSIM_IMPL = orig
+    np.testing.assert_allclose(float(v1), float(v2), rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(g1), np.asarray(g2),
+                               rtol=1e-4, atol=1e-7)
+
+
 def test_expon_lr_matches_reference_formula():
     """get_expon_lr_func (general_utils.py:41-75) evaluated inline."""
     cases = [
