@@ -93,6 +93,7 @@ for what in "${@:-base r4all}"; do
         ssim)  run_arm ssim GFTORF_SSIM_IMPL=conv -- ;;
         flow)  run_arm flow GFTORF_STATIC_FLOW=0 -- ;;
         ctrl)  run_arm ctrl -- ;;
+        compact) run_arm compact GFTORF_COMPACT_LAYOUT=0 -- ;;
         *) echo "unknown arm $what"; exit 1 ;;
     esac
 done
