@@ -88,12 +88,12 @@ def bin_gaussians(
     seg = jnp.zeros((capacity,), jnp.int32).at[offsets].max(gids, mode="drop")
     g = jax.lax.cummax(seg)
 
-    # Span-start position per slot, same trick (offsets are monotone).
-    start = jnp.zeros((capacity,), jnp.int32).at[offsets].max(
-        offsets, mode="drop"
-    )
-    start = jax.lax.cummax(start)
-    within = slots - start
+    # Span-start position per slot: the owner's own offset. A gather by
+    # g replaces a second scatter-max+cummax (identical by construction:
+    # cummax over the scattered offsets resolves every slot to the
+    # offset of the max-gid owner, which IS offsets[g]; ~1 ms/step of
+    # scatter-max saved at the bench workload, round-5 trace).
+    within = slots - jnp.take(offsets, g, axis=0)
 
     # Per-slot rect fields from one packed gather (grid dims < 256 each;
     # RasterConfig asserts this via capacity_for callers).
@@ -206,11 +206,9 @@ def bin_gaussians_flat(
     gids = jnp.arange(P, dtype=jnp.int32)
     seg = jnp.zeros((capacity,), jnp.int32).at[offsets].max(gids, mode="drop")
     g = jax.lax.cummax(seg)
-    start = jnp.zeros((capacity,), jnp.int32).at[offsets].max(
-        offsets, mode="drop"
-    )
-    start = jax.lax.cummax(start)
-    within = slots - start
+    # start == offsets[g] (see bin_gaussians): gather replaces the
+    # second scatter-max+cummax.
+    within = slots - jnp.take(offsets, g, axis=0)
 
     packed = (
         rect[:, 0] | (rect[:, 1] << 8) | (jnp.maximum(nx, 1) << 16)
